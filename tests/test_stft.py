@@ -9,8 +9,7 @@ import numpy as np
 import pytest
 import torch
 
-import idccrn_vae_tpu.ops.stft as jstft_mod
-from idccrn_vae_tpu.ops.stft import stft, istft
+from idccrn_vae_tpu.ops.stft import stft, istft, hann_window
 
 N_FFT, HOP, WIN = 512, 100, 400
 
@@ -71,6 +70,6 @@ def test_roundtrip_reconstruction():
 
 
 def test_window_matches_torch():
-    ours = np.asarray(jstft_mod.hann_window(WIN))
+    ours = np.asarray(hann_window(WIN))
     ref = torch.hann_window(WIN).numpy()
     np.testing.assert_allclose(ours, ref, atol=1e-6)
