@@ -1,0 +1,71 @@
+"""Supervised DCCRN enhancement model (the reference baseline).
+
+standard_DCCRN + DCCRN_ (pvae_module.py:96-255) as one class: STFT ->
+(datanorm) -> conv encoder -> complex LSTM -> complex dense -> deconv
+decoder with skip concat -> mask|real_imag recon -> ISTFT.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from idccrn_vae_tpu.models.backbone import apply_backbone, init_backbone
+from idccrn_vae_tpu.models.config import DccrnConfig, bottleneck_dims
+from idccrn_vae_tpu.models.modules import (
+    apply_decoder_stack,
+    init_decoder_stack,
+    unflatten_bottleneck,
+)
+from idccrn_vae_tpu.models.vae import finish_reconstruction
+from idccrn_vae_tpu.ops.dense import complex_dense, init_complex_dense
+
+
+class SupervisedDccrn:
+    def __init__(self, cfg: DccrnConfig,
+                 datanorm: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None):
+        self.cfg = cfg
+        self.datanorm = datanorm
+
+    def init(self, key, dtype=jnp.float32):
+        cfg = self.cfg
+        c, f = bottleneck_dims(cfg)
+        k1, k2, k3 = jax.random.split(key, 3)
+        params, stats = init_backbone(k1, cfg, cfg.lstm_hidden, dtype)
+        params["dense"] = init_complex_dense(k2, cfg.lstm_hidden, c * f, dtype)
+        dec_params, dec_stats = init_decoder_stack(k3, cfg, dtype)
+        params["decoder"] = dec_params
+        stats["decoder"] = dec_stats
+        return {"params": params, "stats": stats}
+
+    def apply(self, variables, wav, *, train: bool):
+        """wav (B, L) -> ((clean (B, L'), predict_spec (B, F, T, 2)), stats')."""
+        cfg = self.cfg
+        params, stats = variables["params"], variables["stats"]
+        c, f = bottleneck_dims(cfg)
+        lstm_out, skips, stft_x, new_stats = apply_backbone(
+            params, stats, wav, cfg, train, datanorm=self.datanorm,
+        )
+        dense_out = complex_dense(lstm_out, params["dense"])
+        p = unflatten_bottleneck(dense_out, c, f)
+        out, dec_stats = apply_decoder_stack(
+            params["decoder"], stats["decoder"], p, skips, cfg, train,
+            num_samples=1,
+        )
+        new_stats["decoder"] = dec_stats
+        recon_sig, predict = finish_reconstruction(
+            out, stft_x, cfg, 1, self.datanorm
+        )
+        return (recon_sig, predict), new_stats
+
+    def stft_clean(self, wav):
+        """Raw target spectrogram (no datanorm) — the reference computes
+        the supervised target via the bare STFT module while the model's
+        prediction is de-normalized before the loss
+        (supervised_dccrn/train.py:234, pvae_module.py:235-238)."""
+        from idccrn_vae_tpu.ops.stft import stft
+
+        s = self.cfg.stft
+        return stft(wav, s.n_fft, s.hop, s.win_length)
