@@ -1,0 +1,100 @@
+"""Host-side batch loader with threaded prefetch.
+
+TPU-first replacement for torch DataLoader(num_workers=N)
+(dataload_pretrained_vaes.py:78-81): wav decode happens on host threads
+while the device computes the previous step; batches are stacked numpy
+arrays ready for a single host->device transfer (double-buffered by
+jax's async dispatch).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional
+
+import numpy as np
+
+
+class BatchLoader:
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = True,
+        seed: int = 0,
+        drop_last: bool = True,
+        num_threads: int = 4,
+        prefetch: int = 4,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.num_threads = max(1, num_threads)
+        self.prefetch = prefetch
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _batch_indices(self):
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            np.random.default_rng(self.seed + self._epoch).shuffle(order)
+        stop = n - n % self.batch_size if self.drop_last else n
+        for s in range(0, stop, self.batch_size):
+            yield order[s : s + self.batch_size]
+
+    @staticmethod
+    def _stack(items):
+        if isinstance(items[0], tuple):
+            return tuple(
+                np.stack([it[k] for it in items]) for k in range(len(items[0]))
+            )
+        return np.stack(items)
+
+    def __iter__(self) -> Iterator:
+        batches = list(self._batch_indices())
+        self._epoch += 1
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        idx_q: "queue.Queue" = queue.Queue()
+        for bi, b in enumerate(batches):
+            idx_q.put((bi, b))
+
+        results = {}
+        lock = threading.Lock()
+
+        def worker():
+            while True:
+                try:
+                    bi, b = idx_q.get_nowait()
+                except queue.Empty:
+                    return
+                batch = self._stack([self.dataset[int(i)] for i in b])
+                with lock:
+                    results[bi] = batch
+                out_q.put(bi)
+
+        threads = [
+            threading.Thread(target=worker, daemon=True)
+            for _ in range(self.num_threads)
+        ]
+        for t in threads:
+            t.start()
+
+        # deliver in order
+        next_bi = 0
+        ready = set()
+        for _ in range(len(batches)):
+            while next_bi not in ready:
+                ready.add(out_q.get())
+            with lock:
+                batch = results.pop(next_bi)
+            yield batch
+            next_bi += 1

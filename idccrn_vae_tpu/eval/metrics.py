@@ -1,0 +1,246 @@
+"""Evaluation metrics: RMSE, SI-SDR, STOI/ESTOI, PESQ (optional).
+
+API mirrors the reference's utils/eval_metrics.py: EvalMetrics(metric)
+.eval(x_est, x_ref, fs, name) plus compute_mean / compute_median CI
+helpers. Differences from the reference:
+
+  * STOI/ESTOI are implemented natively (numpy/scipy, following Taal
+    et al. 2011 and Jensen & Taal 2016, same structure as the pystoi
+    package the reference imports) because pystoi is not in this image.
+    When pystoi IS importable we defer to it for bit-compat.
+  * PESQ-WB requires the `pesq` package (ITU-T P.862 reference code);
+    absent that, 'pesq' evaluations return 0.0 with a one-time warning —
+    the same value the reference substitutes on PESQ failure
+    (eval_metrics.py:105-110).
+"""
+
+from __future__ import annotations
+
+import warnings
+from typing import Optional
+
+import numpy as np
+
+try:  # optional
+    from pesq import pesq as _pesq
+except Exception:  # pragma: no cover
+    _pesq = None
+
+try:  # optional; fallback below
+    from pystoi import stoi as _pystoi
+except Exception:  # pragma: no cover
+    _pystoi = None
+
+_EPS = np.finfo(np.float64).eps
+
+
+def compute_mean(data):
+    """mean ± 1.96*std/sqrt(N) (eval_metrics.py:15-21)."""
+    data = np.asarray(data)
+    if np.any(np.isnan(data)):
+        raise NameError("nan in data")
+    mean = np.mean(data)
+    interval = 1.96 * np.sqrt(np.var(data)) / np.sqrt(data.shape[0])
+    return mean, interval
+
+
+def compute_median(data):
+    """median ± 1.57*IQR/sqrt(N) (eval_metrics.py:23-30)."""
+    data = np.asarray(data)
+    if np.any(np.isnan(data)):
+        raise NameError("nan in data")
+    median = np.median(data, axis=0)
+    q75, q25 = np.quantile(data, [0.75, 0.25], axis=0)
+    ci = 1.57 * (q75 - q25) / np.sqrt(data.shape[0])
+    return median, ci
+
+
+def compute_rmse(x_est, x_ref):
+    """Scale-optimal RMSE (eval_metrics.py:33-41)."""
+    alpha = np.sum(x_est * x_ref) / np.sum(x_est**2)
+    return np.sqrt(np.square(alpha * x_est - x_ref).mean())
+
+
+def compute_sisdr(x_est, x_ref):
+    """SI-SDR, single-reference (eval_metrics.py:49-64)."""
+    eps = np.finfo(np.asarray(x_est).dtype).eps
+    ref = np.asarray(x_ref, np.float64).reshape(-1)
+    est = np.asarray(x_est, np.float64).reshape(-1)
+    rss = np.dot(ref, ref)
+    a = (eps + np.dot(ref, est)) / (rss + eps)
+    e_true = a * ref
+    e_res = est - e_true
+    return 10 * np.log10((eps + np.sum(e_true**2)) / (eps + np.sum(e_res**2)))
+
+
+# ---------------------------------------------------------------------------
+# native STOI / ESTOI
+# ---------------------------------------------------------------------------
+
+_STOI_FS = 10000
+_FRAME = 256
+_HOP = 128
+_NFFT = 512
+_NBANDS = 15
+_MINFREQ = 150
+_N_SEG = 30
+_DYN_RANGE = 40.0
+_BETA = -15.0
+
+
+def _thirdoct(fs, nfft, num_bands, min_freq):
+    f = np.linspace(0, fs, nfft + 1)[: nfft // 2 + 1]
+    k = np.arange(num_bands)
+    cf = np.power(2.0, k / 3.0) * min_freq
+    lo = cf * 2 ** (-1.0 / 6)
+    hi = cf * 2 ** (1.0 / 6)
+    obm = np.zeros((num_bands, len(f)))
+    for i in range(num_bands):
+        lo_i = np.argmin (np.square(f - lo[i]))
+        hi_i = np.argmin(np.square(f - hi[i]))
+        obm[i, lo_i:hi_i] = 1.0
+    return obm
+
+
+def _frames(x, framelen, hop, window):
+    n = (len(x) - framelen) // hop + 1
+    if n <= 0:
+        return np.zeros((0, framelen))
+    idx = np.arange(n)[:, None] * hop + np.arange(framelen)[None, :]
+    return x[idx] * window
+
+
+def _remove_silent(x, y, dyn_range, framelen, hop):
+    w = np.hanning(framelen + 2)[1:-1]
+    xf = _frames(x, framelen, hop, w)
+    yf = _frames(y, framelen, hop, w)
+    energies = 20 * np.log10(np.linalg.norm(xf, axis=1) + _EPS)
+    mask = energies > np.max(energies) - dyn_range
+    xf, yf = xf[mask], yf[mask]
+    # overlap-add back
+    n_out = (len(xf) - 1) * hop + framelen if len(xf) else 0
+    xs = np.zeros(n_out)
+    ys = np.zeros(n_out)
+    for i in range(len(xf)):
+        xs[i * hop : i * hop + framelen] += xf[i]
+        ys[i * hop : i * hop + framelen] += yf[i]
+    return xs, ys
+
+
+def stoi(x, y, fs_sig, extended=False):
+    """STOI / ESTOI of degraded y vs clean x. Defers to pystoi if present."""
+    if _pystoi is not None:
+        return _pystoi(x, y, fs_sig, extended=extended)
+    x = np.asarray(x, np.float64)
+    y = np.asarray(y, np.float64)
+    if fs_sig != _STOI_FS:
+        from idccrn_vae_tpu.data.audio_io import resample
+
+        x = resample(x, fs_sig, _STOI_FS).astype(np.float64)
+        y = resample(y, fs_sig, _STOI_FS).astype(np.float64)
+    x, y = _remove_silent(x, y, _DYN_RANGE, _FRAME, _HOP)
+    if len(x) < _FRAME:
+        warnings.warn("signal too short after silence removal")
+        return 1e-5
+    w = np.hanning(_FRAME + 2)[1:-1]
+    xf = _frames(x, _FRAME, _HOP, w)
+    yf = _frames(y, _FRAME, _HOP, w)
+    xs = np.abs(np.fft.rfft(xf, _NFFT, axis=1)) ** 2  # (T, F)
+    ys = np.abs(np.fft.rfft(yf, _NFFT, axis=1)) ** 2
+    obm = _thirdoct(_STOI_FS, _NFFT, _NBANDS, _MINFREQ)
+    xb = np.sqrt(xs @ obm.T)  # (T, J)
+    yb = np.sqrt(ys @ obm.T)
+    t = xb.shape[0]
+    if t < _N_SEG:
+        warnings.warn("not enough frames for STOI segment")
+        return 1e-5
+    segs = []
+    for m in range(_N_SEG, t + 1):
+        segs.append((xb[m - _N_SEG : m].T, yb[m - _N_SEG : m].T))  # (J, N)
+    if extended:
+        d = 0.0
+        for xm, ym in segs:
+            xn = xm - xm.mean(axis=1, keepdims=True)
+            xn = xn / (np.linalg.norm(xn, axis=1, keepdims=True) + _EPS)
+            yn = ym - ym.mean(axis=1, keepdims=True)
+            yn = yn / (np.linalg.norm(yn, axis=1, keepdims=True) + _EPS)
+            xn = xn - xn.mean(axis=0, keepdims=True)
+            xn = xn / (np.linalg.norm(xn, axis=0, keepdims=True) + _EPS)
+            yn = yn - yn.mean(axis=0, keepdims=True)
+            yn = yn / (np.linalg.norm(yn, axis=0, keepdims=True) + _EPS)
+            d += np.sum(xn * yn) / _N_SEG
+        return d / len(segs)
+    # classic STOI
+    c = 10 ** (-_BETA / 20.0)
+    d = 0.0
+    for xm, ym in segs:
+        alpha = np.linalg.norm(xm, axis=1, keepdims=True) / (
+            np.linalg.norm(ym, axis=1, keepdims=True) + _EPS
+        )
+        ymc = np.minimum(ym * alpha, xm * (1 + c))
+        xn = xm - xm.mean(axis=1, keepdims=True)
+        yn = ymc - ymc.mean(axis=1, keepdims=True)
+        corr = np.sum(
+            (xn / (np.linalg.norm(xn, axis=1, keepdims=True) + _EPS))
+            * (yn / (np.linalg.norm(yn, axis=1, keepdims=True) + _EPS))
+        )
+        d += corr / _NBANDS
+    return d / len(segs)
+
+
+_warned_pesq = False
+
+
+def pesq_wb(fs, ref, deg) -> float:
+    global _warned_pesq
+    if _pesq is None:
+        if not _warned_pesq:
+            warnings.warn(
+                "`pesq` package not installed — PESQ scores report 0.0 "
+                "(same substitution the reference makes on PESQ failure)."
+            )
+            _warned_pesq = True
+        return 0.0
+    try:
+        return float(_pesq(fs, ref, deg, mode="wb"))
+    except Exception:
+        return 0.0
+
+
+class EvalMetrics:
+    """Reference-compatible metric dispatcher (eval_metrics.py:67-122)."""
+
+    def __init__(self, metric: str = "all"):
+        self.metric = metric
+
+    def eval(self, x_est, x_ref, fs, name: Optional[str] = None):
+        x_est = np.asarray(x_est)
+        x_ref = np.asarray(x_ref)
+        if x_est.ndim > 1:
+            x_est = x_est[:, 0]
+        if x_ref.ndim > 1:
+            x_ref = x_ref[:, 0]
+        n = min(len(x_est), len(x_ref))
+        x_est, x_ref = x_est[:n], x_ref[:n]
+
+        if self.metric == "rmse":
+            return compute_rmse(x_est, x_ref)
+        if self.metric == "sisdr":
+            return compute_sisdr(x_est, x_ref)
+        if self.metric == "pesq":
+            return pesq_wb(fs, x_ref, x_est)
+        if self.metric == "stoi":
+            return stoi(x_ref, x_est, fs, extended=False)
+        if self.metric == "estoi":
+            return stoi(x_ref, x_est, fs, extended=True)
+        if self.metric == "all":
+            score_rmse = compute_rmse(x_est, x_ref)
+            score_sisdr = compute_sisdr(x_est, x_ref)
+            score_pesq_wb = pesq_wb(fs, x_ref, x_est)
+            score_estoi = stoi(x_ref, x_est, fs, extended=True)
+            # 6-tuple with legacy pesq/pesq_nb slots zeroed, like the
+            # reference's 'all' branch (eval_metrics.py:96-120).
+            return (score_rmse, score_sisdr, 0.0, score_pesq_wb, 0.0,
+                    score_estoi)
+        raise ValueError(
+            "Evaluation only supports: rmse, sisdr, pesq, stoi, estoi, all")

@@ -1,0 +1,158 @@
+"""Data pipeline + metric sanity tests."""
+
+import os
+
+import numpy as np
+import pytest
+
+from idccrn_vae_tpu.data.audio_io import (
+    read_wav,
+    resample,
+    trim_silence,
+    write_wav,
+)
+from idccrn_vae_tpu.data.loader import BatchLoader
+from idccrn_vae_tpu.data.segments import (
+    SegmentDataset,
+    build_segment_index,
+    companion_paths,
+)
+from idccrn_vae_tpu.data.stats import corpus_mean_std
+from idccrn_vae_tpu.eval.metrics import (
+    EvalMetrics,
+    compute_mean,
+    compute_median,
+    compute_rmse,
+    compute_sisdr,
+    stoi,
+)
+
+FS = 16000
+
+
+@pytest.fixture
+def wav_dir(tmp_path):
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        # speech-ish: amplitude-modulated tone + noise, 2 s
+        t = np.arange(2 * FS) / FS
+        x = (0.3 * np.sin(2 * np.pi * 220 * t) * (1 + np.sin(2 * np.pi * 3 * t))
+             + 0.05 * rng.standard_normal(2 * FS)).astype(np.float32)
+        write_wav(str(tmp_path / f"clean_fileid_{i}.wav"), x, FS)
+    return tmp_path
+
+
+def test_wav_roundtrip(tmp_path):
+    x = np.clip(
+        np.random.default_rng(1).standard_normal(8000) * 0.2, -0.99, 0.99
+    ).astype(np.float32)
+    p = str(tmp_path / "t.wav")
+    write_wav(p, x, FS)
+    y, fs = read_wav(p)
+    assert fs == FS
+    np.testing.assert_allclose(y, x, atol=1e-4)  # PCM16 quantization
+
+
+def test_trim_silence():
+    x = np.zeros(16000, np.float32)
+    x[6000:10000] = np.random.default_rng(2).standard_normal(4000) * 0.5
+    b, e = trim_silence(x, 30.0)
+    assert 4000 <= b <= 6100
+    assert 9900 <= e <= 12000
+
+
+def test_resample_length():
+    x = np.random.default_rng(3).standard_normal(16000).astype(np.float32)
+    y = resample(x, 16000, 10000)
+    assert abs(len(y) - 10000) <= 1
+
+
+def test_segment_index_and_dataset(wav_dir, tmp_path):
+    files = sorted(str(wav_dir / f) for f in os.listdir(wav_dir))
+    idx = build_segment_index(files, sequence_len=81, hop=100, fs=FS,
+                              trim=False, shuffle=False)
+    # 2 s = 32000 samples; window = 80*100 = 8000 -> (1+320)//81 = 3 per file
+    assert len(idx) == 9
+    ds = SegmentDataset(idx, "single")
+    assert ds[0].shape == (8000,)
+    # caching round-trips
+    cache = str(tmp_path / "cache.json")
+    idx2 = build_segment_index(files, 81, 100, FS, trim=False, shuffle=False,
+                               cache_path=cache)
+    idx3 = build_segment_index(files, 81, 100, FS, trim=False, shuffle=False,
+                               cache_path=cache, use_cache=True)
+    assert idx2 == idx3
+
+
+def test_companion_paths():
+    c, n = companion_paths("/d/noisy/book_fileid_42.wav", "/d/clean", "/d/noise")
+    assert c == "/d/clean/clean_fileid_42.wav"
+    assert n == "/d/noise/noise_fileid_42.wav"
+
+
+def test_batch_loader(wav_dir):
+    files = sorted(str(wav_dir / f) for f in os.listdir(wav_dir))
+    idx = build_segment_index(files, 81, 100, FS, trim=False, shuffle=False)
+    ds = SegmentDataset(idx, "single")
+    loader = BatchLoader(ds, batch_size=4, shuffle=True, num_threads=2)
+    batches = list(loader)
+    assert len(batches) == len(idx) // 4
+    assert batches[0].shape == (4, 8000)
+    # epoch reshuffles but sizes stay
+    batches2 = list(loader)
+    assert len(batches2) == len(batches)
+
+
+def test_corpus_mean_std(wav_dir):
+    files = sorted(str(wav_dir / f) for f in os.listdir(wav_dir))
+    mean, std = corpus_mean_std(files, trim=False)
+    assert mean.shape == (257, 2)
+    assert std.shape == (257, 2)
+    assert np.all(std >= 0)
+    # 220 Hz bin (220/16000*512 ≈ bin 7) should dominate energy
+    assert std[7].max() > std[200].max()
+
+
+def test_rmse_sisdr():
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal(16000)
+    assert compute_rmse(2.0 * x, x) < 1e-7  # scale-invariant
+    assert compute_sisdr(2.0 * x, x) > 80
+    noisy = x + 0.1 * rng.standard_normal(16000)
+    assert 15 < compute_sisdr(noisy, x) < 25
+
+
+def test_stoi_sanity():
+    rng = np.random.default_rng(5)
+    t = np.arange(3 * FS) / FS
+    x = (np.sin(2 * np.pi * 300 * t) * (1 + np.sin(2 * np.pi * 4 * t))
+         + 0.02 * rng.standard_normal(3 * FS))
+    clean_score = stoi(x, x, FS, extended=False)
+    assert clean_score > 0.95
+    noisy = x + 1.5 * rng.standard_normal(3 * FS)
+    noisy_score = stoi(x, noisy, FS, extended=False)
+    assert noisy_score < clean_score
+    e_clean = stoi(x, x, FS, extended=True)
+    e_noisy = stoi(x, noisy, FS, extended=True)
+    assert e_clean > 0.95 and e_noisy < e_clean
+
+
+def test_eval_metrics_all():
+    rng = np.random.default_rng(6)
+    t = np.arange(2 * FS) / FS
+    x = np.sin(2 * np.pi * 250 * t) * (1 + 0.5 * np.sin(2 * np.pi * 2 * t))
+    est = x + 0.1 * rng.standard_normal(len(x))
+    out = EvalMetrics("all").eval(est, x, FS, "t")
+    assert len(out) == 6
+    rmse, sisdr, _p, _pwb, _pnb, estoi_s = out
+    assert rmse > 0 and sisdr > 5 and 0 < estoi_s <= 1
+
+
+def test_ci_helpers():
+    data = np.array([1.0, 2.0, 3.0, 4.0])
+    m, ci = compute_mean(data)
+    assert m == 2.5 and ci > 0
+    med, mci = compute_median(data)
+    assert med == 2.5
+    with pytest.raises(NameError):
+        compute_mean(np.array([1.0, np.nan]))
