@@ -1,0 +1,95 @@
+"""Checkpoint/resume with explicit metadata.
+
+Replaces the reference's dict-style torch.save checkpoints *and* its
+dir-name metadata channel (hyperparameters parsed back out of folder
+names — train.py:148-149, train_nsvae.py:94-121): every checkpoint dir
+gets a ``meta.json`` carrying the full model config + training
+counters, and tensors go through Orbax (async-capable, TPU-native).
+
+Layout:
+  <dir>/meta.json
+  <dir>/state/        (orbax pytree: variables, opt states, curves)
+  <dir>/best/         (best-val-loss snapshot of the variables)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+
+
+def _to_jsonable(obj):
+    if dataclasses.is_dataclass(obj):
+        return {k: _to_jsonable(v) for k, v in dataclasses.asdict(obj).items()}
+    if isinstance(obj, dict):
+        return {k: _to_jsonable(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_to_jsonable(v) for v in obj]
+    if isinstance(obj, (np.integer,)):
+        return int(obj)
+    if isinstance(obj, (np.floating,)):
+        return float(obj)
+    return obj
+
+
+class CheckpointManager:
+    def __init__(self, directory: str):
+        self.directory = directory
+        os.makedirs(directory, exist_ok=True)
+        import orbax.checkpoint as ocp
+
+        self._ckptr = ocp.PyTreeCheckpointer()
+
+    # -- metadata ----------------------------------------------------------
+    def save_meta(self, meta: dict) -> None:
+        with open(os.path.join(self.directory, "meta.json"), "w") as f:
+            json.dump(_to_jsonable(meta), f, indent=2, default=str)
+
+    def load_meta(self) -> dict:
+        with open(os.path.join(self.directory, "meta.json")) as f:
+            return json.load(f)
+
+    # -- tensors -----------------------------------------------------------
+    def _save_tree(self, name: str, tree: Any) -> None:
+        path = os.path.join(self.directory, name)
+        tree = jax.tree.map(np.asarray, tree)
+        import orbax.checkpoint as ocp
+
+        self._ckptr.save(path, tree, force=True)
+
+    def _load_tree(self, name: str, like: Optional[Any] = None) -> Any:
+        path = os.path.join(self.directory, name)
+        restored = self._ckptr.restore(path)
+        if like is not None:
+            # restore dtypes/structure onto the template
+            flat_like, treedef = jax.tree.flatten(like)
+            flat_new = jax.tree.leaves(restored)
+            flat = [
+                np.asarray(n).astype(np.asarray(l).dtype)
+                for n, l in zip(flat_new, flat_like)
+            ]
+            return jax.tree.unflatten(treedef, flat)
+        return restored
+
+    def save_state(self, state: Any) -> None:
+        self._save_tree("state", state)
+
+    def load_state(self, like: Optional[Any] = None) -> Any:
+        return self._load_tree("state", like)
+
+    def save_best(self, variables: Any) -> None:
+        self._save_tree("best", variables)
+
+    def load_best(self, like: Optional[Any] = None) -> Any:
+        return self._load_tree("best", like)
+
+    def has_state(self) -> bool:
+        return os.path.exists(os.path.join(self.directory, "state"))
+
+    def has_best(self) -> bool:
+        return os.path.exists(os.path.join(self.directory, "best"))

@@ -1,0 +1,326 @@
+"""Phase-2 decoder fine-tuning: classical + adversarial (LSGAN).
+
+Classical (train_second_phase_decoder.py:54): frozen twophase noisy
+encoder (called with train=False), trainable clean (and optionally
+noise) decoder with real skips (pad='sig'); loss = recon on clean
+(+noise) decoder outputs. decode_update selects all decoder params
+('all_decode') or only the skip-consuming stages ('skip_layer',
+train_second_phase_decoder.py:139-175) via an optax update mask.
+
+Adversarial (train_second_phase_adversarial.py:254-325): adds the
+distinguisher D; D updates every d_step batches on (clean,
+stop_grad(est)), G (decoder) updates every batch with
+0.5*(D(est)-1)^2 + SI-SNR. Model selection tracks val SI-SNR recon
+loss, not the total (line 393).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import asdict
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from idccrn_vae_tpu.losses.phase2 import AdversarialPhase2Loss, TwoPhaseLoss
+from idccrn_vae_tpu.models.config import DccrnConfig
+from idccrn_vae_tpu.models.discriminator import Discriminator
+from idccrn_vae_tpu.models.nsvae import NsvaeEncoder
+from idccrn_vae_tpu.models.vae import VaeDecoder
+from idccrn_vae_tpu.ops.stft import stft
+from idccrn_vae_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from idccrn_vae_tpu.train.checkpoint import CheckpointManager
+from idccrn_vae_tpu.train.loop import run_training
+from idccrn_vae_tpu.train.optim import PlateauScheduler, make_adam
+from idccrn_vae_tpu.train.pretrain import tile_samples
+from idccrn_vae_tpu.utils.logger import get_logger
+
+
+def skip_layer_mask(dec_params, cfg: DccrnConfig):
+    """Update mask selecting only skip-consuming decoder stages
+    (decode_update='skip_layer')."""
+    mask = jax.tree.map(lambda _: False, dec_params)
+    for i in cfg.skip_to_use:
+        mask["decoder"][i] = jax.tree.map(lambda _: True,
+                                          dec_params["decoder"][i])
+    return mask
+
+
+class Phase2Trainer:
+    """Classical decoder fine-tune; set adversarial=True for LSGAN."""
+
+    def __init__(
+        self,
+        enc_cfg: DccrnConfig,
+        dec_cfg: DccrnConfig,   # skip_mode='runtime' twophase decoder
+        loss: TwoPhaseLoss,
+        learning_rate: float,
+        adversarial: bool = False,
+        dis_lr: float = 1e-4,
+        d_step: int = 1,
+        decode_update: str = "all_decode",
+        weight_decay: float = 1e-3,
+        mesh=None,
+        seed: int = 123,
+    ):
+        self.enc_cfg = enc_cfg
+        self.dec_cfg = dec_cfg
+        self.loss = loss
+        self.adversarial = adversarial
+        self.adv_loss = AdversarialPhase2Loss(dec_cfg.latent_num)
+        self.d_step = d_step
+        self.decode_update = decode_update
+        self.mesh = mesh if mesh is not None else make_mesh(1)
+        self.encoder = NsvaeEncoder(enc_cfg)
+        self.decoder = VaeDecoder(dec_cfg)
+        self.noise_decoder = (
+            VaeDecoder(dec_cfg) if dec_cfg.latent_num == 2 else None
+        )
+        self.discriminator = Discriminator(dec_cfg) if adversarial else None
+        self.tx = make_adam(learning_rate, weight_decay)
+        self.tx_dis = make_adam(dis_lr, weight_decay) if adversarial else None
+        self.sched = PlateauScheduler(0.5, 3)
+        self.sched_dis = PlateauScheduler(0.5, 3) if adversarial else None
+        self.seed = seed
+        self._batch_counter = 0
+        self._mask = None
+        self._jit_step = jax.jit(
+            self._step, static_argnames=("train", "update_d"))
+
+    def init_state(self, rng=None, pretrained: Optional[dict] = None):
+        rng = jax.random.PRNGKey(self.seed) if rng is None else rng
+        ks = jax.random.split(rng, 4)
+        models = {
+            "encoder": self.encoder.init(ks[0]),
+            "decoder": self.decoder.init(ks[1]),
+        }
+        if self.noise_decoder is not None:
+            models["noise_decoder"] = self.noise_decoder.init(ks[2])
+        if self.discriminator is not None:
+            models["dis"] = self.discriminator.init(ks[3])
+        if pretrained:
+            for k, v in pretrained.items():
+                models[k] = v
+        opt = self.tx.init(self._gen_params(models))
+        state = {"models": models, "opt": opt}
+        if self.adversarial:
+            state["opt_dis"] = self.tx_dis.init(models["dis"]["params"])
+        if self.decode_update == "skip_layer":
+            self._mask = skip_layer_mask(models["decoder"]["params"],
+                                         self.dec_cfg)
+        else:
+            self._mask = None
+        return replicate(self.mesh, state)
+
+    def _gen_params(self, models):
+        out = {"decoder": models["decoder"]["params"]}
+        if "noise_decoder" in models:
+            out["noise_decoder"] = models["noise_decoder"]["params"]
+        return out
+
+    def _decode(self, models, tparams, noisy, clean, noise, rng, train):
+        """Shared forward: frozen encoder -> decoder(s) with real skips."""
+        enc_vars = {"params": models["encoder"]["params"],
+                    "stats": models["encoder"]["stats"]}
+        out, _ = self.encoder.apply(enc_vars, noisy, train=False, rng=rng)
+        dec_vars = {"params": tparams["decoder"],
+                    "stats": models["decoder"]["stats"]}
+        (recon_c, pred_c), dstats = self.decoder.apply(
+            dec_vars, out.stft_x, out.z_speech, out.skips, train=train,
+            pad_mode="sig",
+        )
+        ns = self.dec_cfg.num_samples
+        s = self.enc_cfg.stft
+        clean_spec = stft(clean, s.n_fft, s.hop, s.win_length)
+        clean_t = tile_samples(clean, ns)[:, : recon_c.shape[1]]
+        clean_spec_t = tile_samples(clean_spec, ns)
+        extras = {}
+        if self.noise_decoder is not None and out.z_noise is not None:
+            nd_vars = {"params": tparams["noise_decoder"],
+                       "stats": models["noise_decoder"]["stats"]}
+            (recon_n, pred_n), nstats = self.noise_decoder.apply(
+                nd_vars, out.stft_x, out.z_noise, out.skips, train=train,
+                pad_mode="sig",
+            )
+            noise_spec_t = tile_samples(
+                stft(noise, s.n_fft, s.hop, s.win_length), ns)
+            noise_t = tile_samples(noise, ns)[:, : recon_n.shape[1]]
+            extras = {"recon_n": recon_n, "pred_n": pred_n,
+                      "noise_t": noise_t, "noise_spec_t": noise_spec_t,
+                      "nstats": nstats}
+        return (recon_c, pred_c, clean_t, clean_spec_t, dstats, extras)
+
+    def _step(self, state, noisy, clean, noise, rng, train: bool = True,
+              update_d: bool = False):
+        models = state["models"]
+
+        def gen_loss_fn(tparams):
+            recon_c, pred_c, clean_t, clean_spec_t, dstats, ex = self._decode(
+                models, tparams, noisy, clean, noise, rng, train)
+            if self.adversarial:
+                dis_vars = {"params": models["dis"]["params"],
+                            "stats": models["dis"]["stats"]}
+                score, _ = self.discriminator.apply(dis_vars, recon_c,
+                                                    train=train)
+                total, l_recon, l_dis = self.adv_loss.generator_loss(
+                    clean_t, recon_c, score)
+                metrics = {"total": total, "recon_sisnr": l_recon,
+                           "gen_dis": l_dis}
+            else:
+                lo = self.loss.phase_2_loss(
+                    pred_c, clean_spec_t, clean_t, recon_c,
+                    ex.get("pred_n"), ex.get("noise_spec_t"),
+                    ex.get("noise_t"), ex.get("recon_n"),
+                )
+                total = lo.total
+                metrics = {
+                    "total": lo.total, "cpx_clean": lo.cpx_clean,
+                    "mag_clean": lo.mag_clean, "sisnr_clean": lo.sisnr_clean,
+                    "recon_sisnr": lo.sisnr_clean,
+                }
+            aux_stats = {"decoder": dstats}
+            if "nstats" in ex:
+                aux_stats["noise_decoder"] = ex["nstats"]
+            return total, (metrics, aux_stats, recon_c, clean_t)
+
+        tparams = self._gen_params(models)
+        if not train:
+            _, (metrics, _a, recon_c, clean_t) = gen_loss_fn(tparams)
+            if self.adversarial:
+                dis_vars = {"params": models["dis"]["params"],
+                            "stats": models["dis"]["stats"]}
+                s_true, _ = self.discriminator.apply(dis_vars, clean_t,
+                                                     train=False)
+                s_est, _ = self.discriminator.apply(dis_vars, recon_c,
+                                                    train=False)
+                metrics["dis"] = self.adv_loss.discriminator_loss(s_true,
+                                                                  s_est)
+            return state, metrics
+
+        grads, (metrics, aux_stats, recon_c, clean_t) = jax.grad(
+            gen_loss_fn, has_aux=True)(tparams)
+        if self._mask is not None:
+            grads["decoder"] = jax.tree.map(
+                lambda g, m: g if m else jnp.zeros_like(g),
+                grads["decoder"], self._mask)
+        updates, opt = self.tx.update(grads, state["opt"], tparams)
+        if self._mask is not None:
+            # also mask the updates: Adam's weight-decay term would
+            # otherwise still move frozen params.
+            updates["decoder"] = jax.tree.map(
+                lambda u, m: u if m else jnp.zeros_like(u),
+                updates["decoder"], self._mask)
+        new_tparams = optax.apply_updates(tparams, updates)
+
+        new_models = dict(models)
+        new_models["decoder"] = {"params": new_tparams["decoder"],
+                                 "stats": aux_stats["decoder"]}
+        if "noise_decoder" in new_tparams:
+            new_models["noise_decoder"] = {
+                "params": new_tparams["noise_decoder"],
+                "stats": aux_stats["noise_decoder"]}
+        new_state = {"models": new_models, "opt": opt}
+
+        if self.adversarial:
+            new_state["opt_dis"] = state["opt_dis"]
+            if update_d:
+                est = jax.lax.stop_gradient(recon_c)
+
+                def d_loss_fn(dparams):
+                    dvars = {"params": dparams,
+                             "stats": models["dis"]["stats"]}
+                    s_true, st1 = self.discriminator.apply(dvars, clean_t,
+                                                           train=True)
+                    s_est, st2 = self.discriminator.apply(dvars, est,
+                                                          train=True)
+                    lo = self.adv_loss.discriminator_loss(s_true, s_est)
+                    return lo, st2
+
+                (d_lo, dis_stats), d_grads = jax.value_and_grad(
+                    d_loss_fn, has_aux=True)(models["dis"]["params"])
+                d_updates, opt_dis = self.tx_dis.update(
+                    d_grads, state["opt_dis"], models["dis"]["params"])
+                new_models["dis"] = {
+                    "params": optax.apply_updates(models["dis"]["params"],
+                                                  d_updates),
+                    "stats": dis_stats}
+                new_state["opt_dis"] = opt_dis
+                metrics["dis"] = d_lo
+        return new_state, metrics
+
+    def train_step(self, state, batch, rng, epoch: int, batch_idx: int = 0):
+        noisy, clean, noise = (
+            shard_batch(self.mesh, jnp.asarray(b, jnp.float32)) for b in batch
+        )
+        update_d = self.adversarial and (self._batch_counter % self.d_step == 0)
+        self._batch_counter += 1
+        return self._jit_step(state, noisy, clean, noise, rng, train=True,
+                              update_d=update_d)
+
+    def eval_step(self, state, batch, rng, epoch: int):
+        noisy, clean, noise = (
+            shard_batch(self.mesh, jnp.asarray(b, jnp.float32)) for b in batch
+        )
+        _, metrics = self._jit_step(state, noisy, clean, noise, rng,
+                                    train=False, update_d=False)
+        return metrics
+
+    def fit(self, train_loader, val_loader, epochs, save_dir,
+            early_stop_patience=20, save_frequency=10,
+            model_name="phase2_decoder", resume=False, logger=None,
+            pretrained=None):
+        logger = logger or get_logger()
+        ckpt = CheckpointManager(save_dir)
+        self._batch_counter = 0
+        state = self.init_state(pretrained=pretrained)
+        start_epoch, best_val, patience = 0, float("inf"), 0
+        if resume and ckpt.has_state():
+            meta = ckpt.load_meta()
+            state = replicate(self.mesh, ckpt.load_state(like=state))
+            start_epoch = int(meta["epoch"]) + 1
+            best_val = float(meta["best_val"])
+            patience = int(meta["patience"])
+            self.sched.load_state_dict(meta["sched"])
+
+        def schedulers_step(state, val_total):
+            state["opt"], _ = self.sched.step(val_total, state["opt"])
+            if self.adversarial and self.sched_dis is not None:
+                state["opt_dis"], _ = self.sched_dis.step(val_total,
+                                                          state["opt_dis"])
+            return state
+
+        def on_best(state, epoch):
+            ckpt.save_best(state["models"])
+
+        def on_checkpoint(state, epoch, best, pat, curves):
+            ckpt.save_state(state)
+            ckpt.save_meta({
+                "model_name": model_name,
+                "enc_config": asdict(self.enc_cfg),
+                "dec_config": asdict(self.dec_cfg),
+                "adversarial": self.adversarial,
+                "decode_update": self.decode_update,
+                "epoch": epoch, "best_val": best, "patience": pat,
+                "sched": self.sched.state_dict(),
+            })
+            import json
+
+            with open(os.path.join(save_dir, "loss_curves.json"), "w") as f:
+                json.dump(curves, f)
+
+        # Adversarial model selection tracks val recon SI-SNR, not the
+        # total generator loss (train_second_phase_adversarial.py:393).
+        loss_key = "recon_sisnr" if self.adversarial else "total"
+        return run_training(
+            epochs=epochs, start_epoch=start_epoch,
+            train_loader=train_loader, val_loader=val_loader,
+            train_step=self.train_step, eval_step=self.eval_step,
+            state=state, rng=jax.random.PRNGKey(self.seed + 17),
+            schedulers_step=schedulers_step, on_best=on_best,
+            on_checkpoint=on_checkpoint, logger=logger,
+            early_stop_patience=early_stop_patience, best_val=best_val,
+            patience=patience, save_frequency=save_frequency,
+            loss_key=loss_key,
+        )

@@ -1,0 +1,205 @@
+"""CVAE / NVAE pretraining (the reference's GRU_VAE_Train, train.py:54).
+
+TPU-first structure: ONE jitted SPMD train step covering both models
+(encoder+decoder forward, loss, grads, two Adam updates, BN-stat
+threading), batch sharded over the data mesh; the epoch loop, plateau
+schedulers, early stopping and checkpointing run on host.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import asdict
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from idccrn_vae_tpu.losses.vae_loss import PretrainVaeLoss
+from idccrn_vae_tpu.models.config import DccrnConfig
+from idccrn_vae_tpu.models.vae import VaeDecoder, VaeEncoder
+from idccrn_vae_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from idccrn_vae_tpu.train.checkpoint import CheckpointManager
+from idccrn_vae_tpu.train.loop import run_training
+from idccrn_vae_tpu.train.optim import PlateauScheduler, make_adam
+from idccrn_vae_tpu.utils.logger import get_logger
+
+
+def tile_samples(x: jnp.ndarray, num_samples: int) -> jnp.ndarray:
+    """(B, ...) -> (B*S, ...) sample-major within batch (repeat)."""
+    return jnp.repeat(x, num_samples, axis=0)
+
+
+class PretrainTrainer:
+    def __init__(
+        self,
+        cfg: DccrnConfig,
+        loss: PretrainVaeLoss,
+        learning_rate: float,
+        weight_decay: float = 1e-3,
+        datanorm: Optional[Tuple[np.ndarray, np.ndarray]] = None,
+        mesh=None,
+        seed: int = 123,
+    ):
+        self.cfg = cfg
+        self.loss = loss
+        self.mesh = mesh if mesh is not None else make_mesh(1)
+        dn = None
+        if datanorm is not None:
+            dn = (jnp.asarray(datanorm[0]), jnp.asarray(datanorm[1]))
+        self.encoder = VaeEncoder(cfg, dn)
+        self.decoder = VaeDecoder(cfg, dn)
+        self.tx_en = make_adam(learning_rate, weight_decay)
+        self.tx_de = make_adam(learning_rate, weight_decay)
+        self.sched_en = PlateauScheduler(0.5, 3)
+        self.sched_de = PlateauScheduler(0.5, 3)
+        self.seed = seed
+        self._train_step = jax.jit(self._step, static_argnames=("train",))
+
+    # -- state -------------------------------------------------------------
+    def init_state(self, rng=None):
+        rng = jax.random.PRNGKey(self.seed) if rng is None else rng
+        k1, k2 = jax.random.split(rng)
+        enc_v = self.encoder.init(k1)
+        dec_v = self.decoder.init(k2)
+        state = {
+            "enc": enc_v,
+            "dec": dec_v,
+            "opt_en": self.tx_en.init(enc_v["params"]),
+            "opt_de": self.tx_de.init(dec_v["params"]),
+        }
+        return replicate(self.mesh, state)
+
+    # -- one step ----------------------------------------------------------
+    def _forward(self, enc_params, dec_params, enc_stats, dec_stats, wav,
+                 rng, train: bool):
+        cfg = self.cfg
+        out, enc_stats2 = self.encoder.apply(
+            {"params": enc_params, "stats": enc_stats}, wav,
+            train=train, rng=rng,
+        )
+        (recon, predict), dec_stats2 = self.decoder.apply(
+            {"params": dec_params, "stats": dec_stats}, out.stft_x, out.z,
+            out.skips, train=train,
+        )
+        s = cfg.num_samples
+        wav_t = tile_samples(wav, s)
+        stft_t = tile_samples(out.stft_x, s)
+        # Align waveform target to ISTFT output length ((T-1)*hop).
+        wav_t = wav_t[:, : recon.shape[1]]
+        return out, recon, predict, wav_t, stft_t, enc_stats2, dec_stats2
+
+    def _step(self, state, wav, rng, kl_w, train: bool = True):
+        def loss_fn(params):
+            out, recon, predict, wav_t, stft_t, es, ds = self._forward(
+                params["enc"], params["dec"],
+                state["enc"]["stats"], state["dec"]["stats"],
+                wav, rng, train,
+            )
+            lo = self.loss(wav_t, recon, stft_t, predict, out.gauss, out.z,
+                           kl_w)
+            metrics = {
+                "total": lo.total, "recon": lo.recon, "kl": lo.kl,
+                "mi": lo.mi, "cpx": lo.loss_cpx, "mag": lo.loss_mag,
+                "sisnr": lo.loss_sisnr,
+            }
+            return lo.total, (metrics, es, ds)
+
+        params = {"enc": state["enc"]["params"], "dec": state["dec"]["params"]}
+        if train:
+            grads, (metrics, es, ds) = jax.grad(loss_fn, has_aux=True)(params)
+            up_en, opt_en = self.tx_en.update(
+                grads["enc"], state["opt_en"], params["enc"])
+            up_de, opt_de = self.tx_de.update(
+                grads["dec"], state["opt_de"], params["dec"])
+            import optax
+
+            new_state = {
+                "enc": {"params": optax.apply_updates(params["enc"], up_en),
+                        "stats": es},
+                "dec": {"params": optax.apply_updates(params["dec"], up_de),
+                        "stats": ds},
+                "opt_en": opt_en,
+                "opt_de": opt_de,
+            }
+            return new_state, metrics
+        _, (metrics, _es, _ds) = loss_fn(params)
+        return state, metrics
+
+    # -- public step wrappers ----------------------------------------------
+    def train_step(self, state, batch, rng, epoch: int):
+        wav = shard_batch(self.mesh, jnp.asarray(batch, jnp.float32))
+        kl_w = jnp.asarray(self.loss.kl_weight_at(epoch), jnp.float32)
+        return self._train_step(state, wav, rng, kl_w, train=True)
+
+    def eval_step(self, state, batch, rng, epoch: int):
+        wav = shard_batch(self.mesh, jnp.asarray(batch, jnp.float32))
+        kl_w = jnp.asarray(self.loss.kl_weight_at(epoch), jnp.float32)
+        _, metrics = self._train_step(state, wav, rng, kl_w, train=False)
+        return metrics
+
+    # -- fit ---------------------------------------------------------------
+    def fit(
+        self,
+        train_loader,
+        val_loader,
+        epochs: int,
+        save_dir: str,
+        early_stop_patience: int = 30,
+        save_frequency: int = 10,
+        model_name: str = "complex_CVAE",
+        resume: bool = False,
+        logger=None,
+    ):
+        logger = logger or get_logger()
+        ckpt = CheckpointManager(save_dir)
+        state = self.init_state()
+        start_epoch, best_val, patience = 0, float("inf"), 0
+        if resume and ckpt.has_state():
+            meta = ckpt.load_meta()
+            state = ckpt.load_state(like=state)
+            state = replicate(self.mesh, state)
+            start_epoch = int(meta["epoch"]) + 1
+            best_val = float(meta["best_val"])
+            patience = int(meta["patience"])
+            self.sched_en.load_state_dict(meta["sched_en"])
+            self.sched_de.load_state_dict(meta["sched_de"])
+            logger.info("resumed from epoch %d", start_epoch)
+
+        def schedulers_step(state, val_total):
+            state["opt_en"], _ = self.sched_en.step(val_total, state["opt_en"])
+            state["opt_de"], _ = self.sched_de.step(val_total, state["opt_de"])
+            return state
+
+        def on_best(state, epoch):
+            ckpt.save_best({"enc": state["enc"], "dec": state["dec"]})
+
+        def on_checkpoint(state, epoch, best, pat, curves):
+            ckpt.save_state(state)
+            ckpt.save_meta({
+                "model_name": model_name,
+                "config": asdict(self.cfg),
+                "epoch": epoch,
+                "best_val": best,
+                "patience": pat,
+                "sched_en": self.sched_en.state_dict(),
+                "sched_de": self.sched_de.state_dict(),
+            })
+            import json
+
+            with open(os.path.join(save_dir, "loss_curves.json"), "w") as f:
+                json.dump(curves, f)
+
+        state, curves, best = run_training(
+            epochs=epochs, start_epoch=start_epoch,
+            train_loader=train_loader, val_loader=val_loader,
+            train_step=self.train_step, eval_step=self.eval_step,
+            state=state, rng=jax.random.PRNGKey(self.seed + 7),
+            schedulers_step=schedulers_step, on_best=on_best,
+            on_checkpoint=on_checkpoint, logger=logger,
+            early_stop_patience=early_stop_patience, best_val=best_val,
+            patience=patience, save_frequency=save_frequency,
+        )
+        return state, curves, best
