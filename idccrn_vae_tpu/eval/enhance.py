@@ -1,0 +1,181 @@
+"""Batched enhancement runner — the RTFx-critical serving path.
+
+The reference enhances one utterance at a time at batch=1 with variable
+T (test_nsvae_se.py:225-470), which would trigger an XLA recompile per
+length. Here:
+
+  * utterances are LENGTH-BUCKETED: padded up to a small set of bucket
+    lengths (multiples of `bucket_frames` STFT frames), so only a
+    handful of programs ever compile;
+  * each bucket runs one jitted program: STFT -> noisy encoder ->
+    latent sampling -> decoder(s) -> (out-type combination) -> ISTFT,
+    whole batches resident on device;
+  * sample-averaged decoding (mean over num_samples,
+    test_nsvae_se.py:352) happens on device.
+
+Out-types for latent_num=2 (test_nsvae_se.py:139-189):
+  'clean_direct'    — sample-mean of the clean decoder output
+  'real_imag_mask'  — Wiener-style per-component ratio masks
+  'complex_mask'    — complex ratio S/(S+N)
+  'phase_mask'      — phase-sensitive mask |S|/(|S|+|N|)*cos(dphi)
+                      applied to |Y| with the speech phase
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from idccrn_vae_tpu.models.config import DccrnConfig
+from idccrn_vae_tpu.models.nsvae import NsvaeEncoder, split_noisy_skips
+from idccrn_vae_tpu.models.vae import VaeDecoder
+from idccrn_vae_tpu.ops.stft import istft, stft
+
+
+def _sample_mean(x: jnp.ndarray, num_samples: int) -> jnp.ndarray:
+    """(B*S, ...) -> (B, ...) mean over the sample dim."""
+    return jnp.mean(
+        x.reshape((-1, num_samples) + x.shape[1:]), axis=1
+    )
+
+
+def _to_complex(spec):
+    return spec[..., 0] + 1j * spec[..., 1]
+
+
+def combine_outputs(outtype: str, speech_spec, noise_spec, noisy_spec,
+                    num_samples: int):
+    """Sample-mean + mask combination -> (B, F, T, 2) estimate."""
+    s = _sample_mean(speech_spec, num_samples)
+    y = noisy_spec
+    if outtype == "clean_direct" or noise_spec is None:
+        return s
+    n = _sample_mean(noise_spec, num_samples)
+    if outtype == "real_imag_mask":
+        rm = s[..., 0] ** 2 / (s[..., 0] ** 2 + n[..., 0] ** 2 + 1e-10)
+        im = s[..., 1] ** 2 / (s[..., 1] ** 2 + n[..., 1] ** 2 + 1e-10)
+        return jnp.stack([rm * y[..., 0], im * y[..., 1]], axis=-1)
+    if outtype == "complex_mask":
+        sc, nc, yc = _to_complex(s), _to_complex(n), _to_complex(y)
+        est = sc / (sc + nc + 1e-10) * yc
+        return jnp.stack([jnp.real(est), jnp.imag(est)], axis=-1)
+    if outtype == "phase_mask":
+        sc, nc, yc = _to_complex(s), _to_complex(n), _to_complex(y)
+        s_mag, s_ph = jnp.abs(sc), jnp.angle(sc)
+        n_mag = jnp.abs(nc)
+        y_ph = jnp.angle(yc)
+        mask = s_mag / (s_mag + n_mag + 1e-10) * jnp.cos(s_ph - y_ph)
+        est = mask * jnp.abs(yc) * jnp.exp(1j * s_ph)
+        return jnp.stack([jnp.real(est), jnp.imag(est)], axis=-1)
+    raise ValueError(f"unknown outtype {outtype}")
+
+
+class Enhancer:
+    """NSVAE (+ pretrained/fine-tuned decoder) speech enhancer."""
+
+    def __init__(
+        self,
+        enc_cfg: DccrnConfig,
+        dec_cfg: DccrnConfig,
+        enc_vars,
+        dec_vars,
+        noise_dec_vars=None,
+        num_samples: int = 10,
+        outtype: str = "clean_direct",
+        latent_to_use: int = 1,
+        pad_mode: str = "sig",
+        bucket_frames: int = 100,
+        compute_dtype=jnp.float32,
+    ):
+        self.enc_cfg = enc_cfg
+        self.dec_cfg = dec_cfg
+        self.encoder = NsvaeEncoder(enc_cfg)
+        self.decoder = VaeDecoder(dec_cfg)
+        self.noise_decoder = VaeDecoder(dec_cfg) if noise_dec_vars else None
+        self.enc_vars = enc_vars
+        self.dec_vars = dec_vars
+        self.noise_dec_vars = noise_dec_vars
+        self.num_samples = num_samples
+        self.outtype = outtype
+        self.latent_to_use = latent_to_use
+        self.pad_mode = pad_mode
+        self.bucket_frames = bucket_frames
+        self._fns = {}
+
+    # -- single-bucket jitted program --------------------------------------
+    def _build(self, length: int) -> Callable:
+        s = self.enc_cfg.stft
+
+        @jax.jit
+        def fn(enc_vars, dec_vars, noise_dec_vars, wav, rng):
+            out, _ = self.encoder.apply(
+                enc_vars, wav, train=False, rng=rng,
+                num_samples=self.num_samples,
+            )
+            skips = split_noisy_skips(out.skips, self.enc_cfg, "speech")
+            (recon, pred_s), _ = self.decoder.apply(
+                dec_vars, out.stft_x, out.z_speech, skips, train=False,
+                num_samples=self.num_samples, pad_mode=self.pad_mode,
+            )
+            if self.outtype == "clean_direct":
+                return _sample_mean(recon, self.num_samples)
+            nskips = split_noisy_skips(out.skips, self.enc_cfg, "noise")
+            (_rn, pred_n), _ = self.noise_decoder.apply(
+                noise_dec_vars, out.stft_x, out.z_noise, nskips,
+                train=False, num_samples=self.num_samples,
+                pad_mode=self.pad_mode,
+            )
+            est = combine_outputs(self.outtype, pred_s, pred_n, out.stft_x,
+                                  self.num_samples)
+            return istft(est, s.n_fft, s.hop, s.win_length)
+
+        return fn
+
+    def _fn_for(self, length: int) -> Callable:
+        if length not in self._fns:
+            self._fns[length] = self._build(length)
+        return self._fns[length]
+
+    def bucket_length(self, n_samples: int) -> int:
+        """Smallest bucket (in samples) holding an n_samples utterance:
+        rounds the frame count up to a multiple of bucket_frames."""
+        hop = self.enc_cfg.stft.hop
+        frames = n_samples // hop + 1
+        bf = self.bucket_frames
+        frames_b = ((frames + bf - 1) // bf) * bf
+        return frames_b * hop
+
+    # -- public API --------------------------------------------------------
+    def enhance_batch(self, wavs: np.ndarray, rng=None) -> np.ndarray:
+        """Enhance a padded batch (B, L); L must be a bucket length."""
+        rng = jax.random.PRNGKey(0) if rng is None else rng
+        fn = self._fn_for(wavs.shape[1])
+        out = fn(self.enc_vars, self.dec_vars, self.noise_dec_vars,
+                 jnp.asarray(wavs), rng)
+        return np.asarray(out)
+
+    def enhance_utterances(
+        self, wavs: Sequence[np.ndarray], batch_size: int = 8, rng=None,
+    ) -> List[np.ndarray]:
+        """Length-bucketed padded batched enhancement of a wav list."""
+        rng = jax.random.PRNGKey(0) if rng is None else rng
+        order = np.argsort([len(w) for w in wavs])
+        results: List[Optional[np.ndarray]] = [None] * len(wavs)
+        i = 0
+        while i < len(order):
+            chunk = order[i : i + batch_size]
+            bucket = self.bucket_length(max(len(wavs[j]) for j in chunk))
+            batch = np.zeros((len(chunk), bucket), np.float32)
+            for r, j in enumerate(chunk):
+                batch[r, : len(wavs[j])] = wavs[j]
+            rng, sub = jax.random.split(rng)
+            out = self.enhance_batch(batch, sub)
+            for r, j in enumerate(chunk):
+                n = min(len(wavs[j]), out.shape[1])
+                results[j] = out[r, :n]
+            i += batch_size
+        return results  # type: ignore[return-value]

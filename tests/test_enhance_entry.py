@@ -1,0 +1,74 @@
+"""Enhancer + graft entry smoke tests (tiny geometry, CPU)."""
+
+import dataclasses
+
+import jax
+import numpy as np
+
+from idccrn_vae_tpu.eval.enhance import Enhancer
+from idccrn_vae_tpu.models.config import DccrnConfig
+from idccrn_vae_tpu.models.nsvae import NsvaeEncoder
+from idccrn_vae_tpu.models.vae import VaeDecoder
+
+TINY = DccrnConfig(
+    encoder_channels=(1, 2, 2, 4, 4, 4, 4),
+    zdim=4,
+    num_samples=2,
+    causal=True,
+)
+
+
+def _enhancer(latent_num=1, outtype="clean_direct", channel_mode="normal"):
+    enc_cfg = dataclasses.replace(TINY, latent_num=latent_num,
+                                  channel_mode=channel_mode)
+    enc = NsvaeEncoder(enc_cfg)
+    dec = VaeDecoder(TINY)
+    ev = enc.init(jax.random.PRNGKey(0))
+    dv = dec.init(jax.random.PRNGKey(1))
+    nv = dec.init(jax.random.PRNGKey(2)) if latent_num == 2 else None
+    return Enhancer(enc_cfg, TINY, ev, dv, nv, num_samples=2,
+                    outtype=outtype, bucket_frames=10)
+
+
+def test_bucket_length():
+    e = _enhancer()
+    assert e.bucket_length(999) == 1000  # 10 frames -> bucket 10
+    assert e.bucket_length(1000) == 2000  # 11 frames -> bucket 20
+
+
+def test_enhance_utterances_variable_length():
+    e = _enhancer()
+    rng = np.random.default_rng(0)
+    wavs = [rng.standard_normal(n).astype(np.float32) * 0.1
+            for n in (1500, 2100, 900)]
+    outs = e.enhance_utterances(wavs, batch_size=2)
+    assert len(outs) == 3
+    for w, o in zip(wavs, outs):
+        assert o.ndim == 1 and len(o) <= len(w)
+        assert np.isfinite(o).all()
+    # only a small number of compiled buckets
+    assert len(e._fns) <= 2
+
+
+def test_outtypes_latent2():
+    for outtype in ("clean_direct", "real_imag_mask", "complex_mask",
+                    "phase_mask"):
+        e = _enhancer(latent_num=2, outtype=outtype, channel_mode="double")
+        wav = np.random.default_rng(1).standard_normal((2, 2000)).astype(
+            np.float32) * 0.1
+        out = e.enhance_batch(wav)
+        assert out.shape[0] == 2
+        assert np.isfinite(out).all()
+
+
+def test_graft_entry_compiles():
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry",
+        os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                     "__graft_entry__.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(8)
