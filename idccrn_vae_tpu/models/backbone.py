@@ -55,5 +55,6 @@ def apply_backbone(
         params["encoder"], stats["encoder"], x, cfg, train, dis_mode=dis_mode
     )
     seq = flatten_bottleneck(x)  # (B, T', 2*C*F)
-    lstm_out = complex_lstm(seq, params["lstm"])
+    cdt = None if cfg.compute == "f32" else cfg.compute_dtype
+    lstm_out = complex_lstm(seq, params["lstm"], compute_dtype=cdt)
     return lstm_out, skips, stft_x, {"encoder": enc_stats}

@@ -64,6 +64,16 @@ class DccrnConfig:
     skip_mode: Literal["real", "none", "zero", "prob", "runtime"] = "real"
     recon_type: Literal["mask", "real_imag"] = "real_imag"
     resynthesis: bool = False
+    # 'f32' | 'bf16': dtype for conv/LSTM/dense compute (MXU path).
+    # Parameters, BN statistics, STFT/ISTFT, and the latent head math
+    # stay fp32; bf16 roughly doubles MXU throughput on v5e.
+    compute: Literal["f32", "bf16"] = "f32"
+
+    @property
+    def compute_dtype(self):
+        import jax.numpy as jnp
+
+        return jnp.bfloat16 if self.compute == "bf16" else jnp.float32
 
     @property
     def num_stages(self) -> int:

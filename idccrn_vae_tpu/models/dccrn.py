@@ -48,7 +48,10 @@ class SupervisedDccrn:
         lstm_out, skips, stft_x, new_stats = apply_backbone(
             params, stats, wav, cfg, train, datanorm=self.datanorm,
         )
-        dense_out = complex_dense(lstm_out, params["dense"])
+        dense_out = complex_dense(
+            lstm_out, params["dense"],
+            compute_dtype=None if cfg.compute == "f32" else cfg.compute_dtype,
+        )
         p = unflatten_bottleneck(dense_out, c, f)
         out, dec_stats = apply_decoder_stack(
             params["decoder"], stats["decoder"], p, skips, cfg, train,

@@ -60,12 +60,13 @@ def apply_encoder_stack(params, stats, x, cfg: DccrnConfig, train: bool,
                         dis_mode: bool = False):
     """x: (B, F, T, 2*Cin) -> (bottleneck, skips list, new_stats)."""
     time_pad = 1 if cfg.causal else 0
+    cdt = cfg.compute_dtype
     skips = []
     new_stats = []
     for p, s in zip(params, stats):
         x = complex_conv2d(
             x, p["conv"], cfg.stride, (cfg.freq_pad, time_pad),
-            causal=cfg.causal,
+            causal=cfg.causal, compute_dtype=cdt,
         )
         x, s2 = complex_batch_norm(x, p["bn"], s, train=train, dis_mode=dis_mode)
         x = prelu(x, p["prelu"])
@@ -139,7 +140,8 @@ def apply_decoder_stack(
                 skip = jnp.zeros_like(skip)
             x = cpack_concat(x, skip)
         x = complex_conv_transpose2d(
-            x, p["conv"], cfg.stride, (cfg.freq_pad, 0), causal=cfg.causal
+            x, p["conv"], cfg.stride, (cfg.freq_pad, 0), causal=cfg.causal,
+            compute_dtype=cfg.compute_dtype,
         )
         # Last stage keeps BN+PReLU too (if_bn=True at all reference call
         # sites — pvae_module.py:424-437).

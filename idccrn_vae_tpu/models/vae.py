@@ -145,7 +145,10 @@ class VaeDecoder:
         params, stats = variables["params"], variables["stats"]
         c, f = bottleneck_dims(cfg)
 
-        dense_out = complex_dense(z, params["dense"])  # (B*S, T, 2*C*F)
+        dense_out = complex_dense(
+            z, params["dense"],
+            compute_dtype=None if cfg.compute == "f32" else cfg.compute_dtype,
+        )  # (B*S, T, 2*C*F)
         p = unflatten_bottleneck(dense_out, c, f)      # (B*S, F, T, 2C)
         out, dec_stats = apply_decoder_stack(
             params["decoder"], stats["decoder"], p, skips, cfg, train,

@@ -54,11 +54,13 @@ def _lstm_layer(x_proj: jnp.ndarray, w_hh: jnp.ndarray, hidden: int,
                 unroll: int = 4) -> jnp.ndarray:
     """Scan one LSTM layer given precomputed input projections.
 
-    x_proj: (T, ..., 4H) — input matmul + both biases already applied.
-    w_hh:   (..., H, 4H) with leading batch dims matching x_proj's
-            middle dims (for vmapped weight stacking) or just (H, 4H).
-    Returns outputs (T, ..., H).
+    x_proj: (T, ..., 4H) fp32 — input matmul + both biases applied.
+    w_hh:   (H, 4H), possibly reduced precision (bf16): the recurrent
+            matmul runs at w_hh's dtype with fp32 accumulation; the
+            cell state c stays fp32 for stability.
+    Returns outputs (T, ..., H) at w_hh's dtype.
     """
+    cdtype = w_hh.dtype
 
     def step(carry, xp):
         h, c = carry
@@ -69,32 +71,41 @@ def _lstm_layer(x_proj: jnp.ndarray, w_hh: jnp.ndarray, hidden: int,
         g = jnp.tanh(g)
         o = jax.nn.sigmoid(o)
         c = f * c + i * g
-        h = o * jnp.tanh(c)
+        h = (o * jnp.tanh(c)).astype(cdtype)
         return (h, c), h
 
     batch_shape = x_proj.shape[1:-1]
-    h0 = jnp.zeros(batch_shape + (hidden,), dtype=x_proj.dtype)
-    (_, _), out = lax.scan(step, (h0, h0), x_proj, unroll=unroll)
+    h0 = jnp.zeros(batch_shape + (hidden,), dtype=cdtype)
+    c0 = jnp.zeros(batch_shape + (hidden,), dtype=jnp.float32)
+    (_, _), out = lax.scan(step, (h0, c0), x_proj, unroll=unroll)
     return out
 
 
-def lstm(x: jnp.ndarray, layers: Sequence[dict], unroll: int = 4) -> jnp.ndarray:
+def lstm(x: jnp.ndarray, layers: Sequence[dict], unroll: int = 4,
+         compute_dtype=None) -> jnp.ndarray:
     """Multi-layer unidirectional LSTM.
 
     Args:
       x: (B, T, In).
+      compute_dtype: optional reduced precision (e.g. bf16) for the
+        matmul operands; accumulation is always fp32.
     Returns:
-      (B, T, H) outputs of the last layer.
+      (B, T, H) fp32 outputs of the last layer.
     """
     hidden = layers[0]["w_hh"].shape[0]
     h = jnp.swapaxes(x, 0, 1)  # (T, B, In) — scan over leading axis
     for p in layers:
+        w_ih, w_hh = p["w_ih"], p["w_hh"]
+        if compute_dtype is not None:
+            h = h.astype(compute_dtype)
+            w_ih = w_ih.astype(compute_dtype)
+            w_hh = w_hh.astype(compute_dtype)
         x_proj = (
-            jnp.matmul(h, p["w_ih"], preferred_element_type=jnp.float32)
+            jnp.matmul(h, w_ih, preferred_element_type=jnp.float32)
             + p["b_ih"] + p["b_hh"]
         )
-        h = _lstm_layer(x_proj, p["w_hh"], hidden, unroll=unroll)
-    return jnp.swapaxes(h, 0, 1)
+        h = _lstm_layer(x_proj, w_hh, hidden, unroll=unroll)
+    return jnp.swapaxes(h, 0, 1).astype(jnp.float32)
 
 
 def init_complex_lstm(key, input_size: int, hidden_size: int, num_layers: int,
@@ -107,7 +118,8 @@ def init_complex_lstm(key, input_size: int, hidden_size: int, num_layers: int,
     }
 
 
-def complex_lstm(x: jnp.ndarray, params: dict, unroll: int = 4) -> jnp.ndarray:
+def complex_lstm(x: jnp.ndarray, params: dict, unroll: int = 4,
+                 compute_dtype=None) -> jnp.ndarray:
     """Complex LSTM over a cpack sequence.
 
     Args:
@@ -129,7 +141,9 @@ def complex_lstm(x: jnp.ndarray, params: dict, unroll: int = 4) -> jnp.ndarray:
     # weight sets, so the whole complex LSTM is one scan.
     stacked = jax.tree.map(lambda a, b_: jnp.stack([a, b_]),
                            list(params["re"]), list(params["im"]))
-    out = jax.vmap(lambda p: lstm(xin, p, unroll=unroll))(stacked)
+    out = jax.vmap(
+        lambda p: lstm(xin, p, unroll=unroll, compute_dtype=compute_dtype)
+    )(stacked)
     # out: (2, 2B, T, H); [0] = lstm_re on [xr;xi], [1] = lstm_im on [xr;xi].
     out_re = out[0, :b] - out[1, b:]
     out_im = out[0, b:] + out[1, :b]
