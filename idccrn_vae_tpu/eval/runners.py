@@ -1,0 +1,262 @@
+"""Evaluation runners: the reference's four test_*.py scripts as a
+library (test_prevae, test_nsvae_se, test_se_cvaefinetune,
+supervised_dccrn/test).
+
+Shared shape: iterate a test set, run the batched device pipeline,
+score with EvalMetrics, write per-utterance JSON + a summary log with
+mean/median ± CI (test_nsvae_se.py:504-570), optionally write enhanced
+wavs and latent diagnostics. Unlike the reference's one-utterance
+batch=1 loop, utterances run length-bucketed and batched (eval/
+enhance.py) — the RTFx-critical difference.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import numpy as np
+
+from idccrn_vae_tpu.data.audio_io import read_wav, resample, write_wav
+from idccrn_vae_tpu.eval.metrics import EvalMetrics, compute_mean, compute_median
+from idccrn_vae_tpu.utils.logger import get_logger
+
+METRIC_NAMES = ("rmse", "sisdr", "pesq", "pesq_wb", "pesq_nb", "estoi")
+
+
+def load_testset(paths: Sequence[str], fs: int = 16000) -> List[np.ndarray]:
+    """Load + resample wavs to the model rate (test_nsvae_se.py:235-238)."""
+    wavs = []
+    for p in paths:
+        x, fs_x = read_wav(p)
+        if x.ndim > 1:
+            x = x[:, 0]
+        if fs_x != fs:
+            x = resample(x, fs_x, fs)
+        wavs.append(x.astype(np.float32))
+    return wavs
+
+
+def summarize_scores(per_utt: Dict[str, Dict[str, float]], logger) -> dict:
+    """Mean/median ± CI per metric, logged in the reference's format."""
+    summary = {}
+    if not per_utt:
+        return summary
+    keys = next(iter(per_utt.values())).keys()
+    for k in keys:
+        vals = np.array([v[k] for v in per_utt.values()], np.float64)
+        mean, mci = compute_mean(vals)
+        med, dci = compute_median(vals)
+        summary[k] = {"mean": mean, "mean_ci": mci,
+                      "median": float(med), "median_ci": float(dci)}
+        logger.info("%s: mean %.4f ± %.4f | median %.4f ± %.4f",
+                    k, mean, mci, med, dci)
+    return summary
+
+
+def score_pairs(est_list, ref_list, names, fs: int = 16000,
+                metric: str = "all") -> Dict[str, Dict[str, float]]:
+    ev = EvalMetrics(metric)
+    per_utt = {}
+    for est, ref, name in zip(est_list, ref_list, names):
+        out = ev.eval(est, ref, fs, name)
+        if metric == "all":
+            per_utt[name] = dict(zip(METRIC_NAMES, map(float, out)))
+        else:
+            per_utt[name] = {metric: float(out)}
+    return per_utt
+
+
+def run_enhancement_eval(
+    enhancer,
+    noisy_paths: Sequence[str],
+    clean_paths: Sequence[str],
+    out_dir: str,
+    fs: int = 16000,
+    batch_size: int = 8,
+    write_wavs: bool = False,
+    report_noisy_baseline: bool = True,
+    logger=None,
+    rng=None,
+) -> dict:
+    """SE evaluation (test_nsvae_se.py run / test_se_cvaefinetune run).
+
+    Writes <out_dir>/per_utterance.json + summary in log + optionally
+    enhanced wavs; reports deltas vs the unprocessed noisy input like
+    test_se_cvaefinetune.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    logger = logger or get_logger(os.path.join(out_dir, "log.txt"), 1)
+    noisy = load_testset(noisy_paths, fs)
+    clean = load_testset(clean_paths, fs)
+    names = [os.path.basename(p) for p in noisy_paths]
+
+    enhanced = enhancer.enhance_utterances(noisy, batch_size=batch_size,
+                                           rng=rng)
+    per_utt = score_pairs(enhanced, clean, names, fs)
+    logger.info("== enhanced vs clean ==")
+    summary = summarize_scores(per_utt, logger)
+
+    result = {"per_utterance": per_utt, "summary": summary}
+    if report_noisy_baseline:
+        noisy_scores = score_pairs(noisy, clean, names, fs)
+        logger.info("== noisy (unprocessed) vs clean ==")
+        noisy_summary = summarize_scores(noisy_scores, logger)
+        result["noisy_summary"] = noisy_summary
+        result["delta"] = {
+            k: {"mean": summary[k]["mean"] - noisy_summary[k]["mean"]}
+            for k in summary
+        }
+
+    with open(os.path.join(out_dir, "per_utterance.json"), "w") as f:
+        json.dump(per_utt, f, indent=1)
+    with open(os.path.join(out_dir, "summary.json"), "w") as f:
+        json.dump(result if "delta" in result else summary, f, indent=1,
+                  default=float)
+
+    if write_wavs:
+        wav_dir = os.path.join(out_dir, "enhanced")
+        os.makedirs(wav_dir, exist_ok=True)
+        for name, est in zip(names, enhanced):
+            try:
+                write_wav(os.path.join(wav_dir, name), est, fs)
+            except Exception as e:  # pragma: no cover
+                logger.warning("failed writing %s: %s", name, e)
+    return result
+
+
+def run_vae_reconstruction_eval(
+    encoder,
+    decoder,
+    enc_vars,
+    dec_vars,
+    wav_paths: Sequence[str],
+    out_dir: str,
+    cfg,
+    num_samples: int = 10,
+    fs: int = 16000,
+    batch_size: int = 8,
+    logger=None,
+    plot: bool = True,
+) -> dict:
+    """VAE reconstruction eval + latent diagnostics (test_prevae.py run).
+
+    Reconstructs each utterance through encoder->decoder (sample-mean),
+    scores vs the original, and dumps cov(mu) diagnostics + plot.
+    """
+    import jax.numpy as jnp
+
+    from idccrn_vae_tpu.eval.diagnostics import (
+        mu_covariance,
+        plot_cov_diagonals,
+    )
+    from idccrn_vae_tpu.eval.enhance import _sample_mean
+
+    os.makedirs(out_dir, exist_ok=True)
+    logger = logger or get_logger(os.path.join(out_dir, "log.txt"), 1)
+    wavs = load_testset(wav_paths, fs)
+    names = [os.path.basename(p) for p in wav_paths]
+
+    hop = cfg.stft.hop
+    fns = {}
+
+    def recon_fn(length):
+        if length not in fns:
+            @jax.jit
+            def fn(ev, dv, wav, key):
+                out, _ = encoder.apply(ev, wav, train=False, rng=key,
+                                       num_samples=num_samples)
+                (recon, _p), _ = decoder.apply(
+                    dv, out.stft_x, out.z, out.skips, train=False,
+                    num_samples=num_samples)
+                mu = jnp.stack([out.gauss.mu_r, out.gauss.mu_i], axis=-1)
+                return _sample_mean(recon, num_samples), mu
+
+            fns[length] = fn
+        return fns[length]
+
+    recons, mus = [], []
+    key = jax.random.PRNGKey(0)
+    order = np.argsort([len(w) for w in wavs])
+    results: List[Optional[np.ndarray]] = [None] * len(wavs)
+    bucket = 100 * hop
+    i = 0
+    while i < len(order):
+        chunk = order[i : i + batch_size]
+        max_len = max(len(wavs[j]) for j in chunk)
+        frames = max_len // hop + 1
+        length = ((frames + 99) // 100) * 100 * hop
+        batch = np.zeros((len(chunk), length), np.float32)
+        for r, j in enumerate(chunk):
+            batch[r, : len(wavs[j])] = wavs[j]
+        key, sub = jax.random.split(key)
+        rec, mu = recon_fn(length)(enc_vars, dec_vars, jnp.asarray(batch), sub)
+        rec = np.asarray(rec)
+        for r, j in enumerate(chunk):
+            n = min(len(wavs[j]), rec.shape[1])
+            results[j] = rec[r, :n]
+            mus.append(np.asarray(mu[r]))
+        i += batch_size
+
+    per_utt = score_pairs(results, wavs, names, fs)
+    logger.info("== VAE reconstruction vs original ==")
+    summary = summarize_scores(per_utt, logger)
+    diag = mu_covariance(mus)
+    logger.info("cov(mu) offdiag mean abs: real %.5f imag %.5f",
+                diag["offdiag_mean_abs_real"], diag["offdiag_mean_abs_imag"])
+    if plot:
+        plot_cov_diagonals(diag, os.path.join(out_dir, "cov_mu_diag.png"))
+    with open(os.path.join(out_dir, "per_utterance.json"), "w") as f:
+        json.dump(per_utt, f, indent=1)
+    return {"per_utterance": per_utt, "summary": summary,
+            "latent_diag": {k: v for k, v in diag.items()
+                            if not k.startswith("cov_")}}
+
+
+def run_supervised_eval(model, variables, noisy_paths, clean_paths, out_dir,
+                        cfg, fs: int = 16000, batch_size: int = 8,
+                        logger=None) -> dict:
+    """Supervised DCCRN eval (supervised_dccrn/test.py, WITHOUT the
+    reference's debug `idx > 5: break` truncation)."""
+    import jax.numpy as jnp
+
+    os.makedirs(out_dir, exist_ok=True)
+    logger = logger or get_logger(os.path.join(out_dir, "log.txt"), 1)
+    noisy = load_testset(noisy_paths, fs)
+    clean = load_testset(clean_paths, fs)
+    names = [os.path.basename(p) for p in noisy_paths]
+
+    hop = cfg.stft.hop
+    fns = {}
+
+    def fn_for(length):
+        if length not in fns:
+            fns[length] = jax.jit(
+                lambda v, w: model.apply(v, w, train=False)[0][0])
+        return fns[length]
+
+    order = np.argsort([len(w) for w in noisy])
+    results: List[Optional[np.ndarray]] = [None] * len(noisy)
+    i = 0
+    while i < len(order):
+        chunk = order[i : i + batch_size]
+        max_len = max(len(noisy[j]) for j in chunk)
+        frames = max_len // hop + 1
+        length = ((frames + 99) // 100) * 100 * hop
+        batch = np.zeros((len(chunk), length), np.float32)
+        for r, j in enumerate(chunk):
+            batch[r, : len(noisy[j])] = noisy[j]
+        out = np.asarray(fn_for(length)(variables, jnp.asarray(batch)))
+        for r, j in enumerate(chunk):
+            n = min(len(noisy[j]), out.shape[1])
+            results[j] = out[r, :n]
+        i += batch_size
+
+    per_utt = score_pairs(results, clean, names, fs)
+    logger.info("== supervised DCCRN vs clean ==")
+    summary = summarize_scores(per_utt, logger)
+    with open(os.path.join(out_dir, "per_utterance.json"), "w") as f:
+        json.dump(per_utt, f, indent=1)
+    return {"per_utterance": per_utt, "summary": summary}
