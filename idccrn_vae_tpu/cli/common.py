@@ -1,0 +1,171 @@
+"""Shared CLI plumbing: ini + flags -> configs, loaders, checkpoints.
+
+Keeps the reference's flag conventions: --skip_to_use as a digit string
+('012345', parsed char-wise like train.py:494-497), --recon_loss_weight
+as a comma list ('1.0,1.0,0.0', train.py:498-503). Hyperparameters are
+persisted in checkpoint meta.json rather than directory names.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import datetime
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+from idccrn_vae_tpu.data.loader import BatchLoader
+from idccrn_vae_tpu.data.segments import SegmentDataset, build_segment_index, find_wavs
+from idccrn_vae_tpu.data.stats import load_stats_txt
+from idccrn_vae_tpu.models.config import DccrnConfig, StftConfig
+from idccrn_vae_tpu.utils.config import IniConfig, load_ini
+
+
+def parse_skip_to_use(s: str) -> Tuple[int, ...]:
+    return tuple(int(c) for c in s)
+
+
+def parse_weights(s: str) -> Tuple[float, ...]:
+    return tuple(float(w) for w in s.split(","))
+
+
+def stft_from_ini(cfg: IniConfig) -> StftConfig:
+    return StftConfig(
+        n_fft=cfg.getint("STFT", "nfft"),
+        hop=cfg.getint("STFT", "hopfrac"),
+        win_length=cfg.getint("STFT", "winlen"),
+        fs=cfg.getint("STFT", "fs"),
+    )
+
+
+def model_config(args, ini: IniConfig, latent_num: int = 1,
+                 channel_mode: str = "normal",
+                 skip_mode: Optional[str] = None) -> DccrnConfig:
+    """DccrnConfig from reference-style flags (train.py:468-490)."""
+    if skip_mode is None:
+        if getattr(args, "skipc", False):
+            skip_mode = "real"
+        elif getattr(args, "skip_padding", False):
+            skip_mode = "zero"  # "spadd"
+        else:
+            skip_mode = "none"
+    d = getattr(args, "encoder_dim_start", 32)
+    channels = (1, d, 2 * d, 4 * d, 4 * d, 8 * d, 8 * d)
+    return DccrnConfig(
+        stft=stft_from_ini(ini),
+        encoder_channels=channels,
+        causal=getattr(args, "causal", True),
+        zdim=getattr(args, "zdim", ini.getint("Network", "z_dim")),
+        num_samples=getattr(args, "num_samples", 1),
+        skip_to_use=parse_skip_to_use(getattr(args, "skip_to_use", "012345")),
+        latent="fc" if getattr(args, "fclatent", False) else "sliced",
+        latent_num=latent_num,
+        channel_mode=channel_mode,
+        skip_mode=skip_mode,
+        recon_type=getattr(args, "recon_type", "real_imag"),
+        resynthesis=getattr(args, "resynthesis", False),
+        compute=getattr(args, "compute", "f32"),
+    )
+
+
+def datanorm_from_ini(ini: IniConfig, enabled: bool):
+    if not enabled:
+        return None
+    mean, std = load_stats_txt(ini.get("User", "mean_file"),
+                               ini.get("User", "std_file"))
+    return mean, std
+
+
+def loaders_from_ini(ini: IniConfig, mode: str, first_use: bool,
+                     cache_dir: str = "."):
+    """Build train/val BatchLoaders for 'single'/'pair'/'triplet' corpora
+    (the reference's three build_dataloader functions)."""
+    df = "DataFrame"
+    seq_len = ini.getint(df, "sequence_len")
+    batch_size = ini.getint(df, "batch_size")
+    shuffle = ini.getboolean(df, "shuffle")
+    workers = ini.getint(df, "num_workers")
+    suffix = ini.get(df, "suffix")
+    name = ini.get(df, "dataset_name")
+    hop = ini.getint("STFT", "hopfrac")
+    fs = ini.getint("STFT", "fs")
+    trim = ini.getboolean("STFT", "trim")
+
+    def build(split):
+        if mode == "single":
+            key = "train_data_dir" if split == "train" else "val_data_dir"
+            files = find_wavs(ini.get("User", key), suffix)
+            clean_dir = noise_dir = None
+        else:
+            key = (f"noisy_{split}_data_dir")
+            files = find_wavs(ini.get("User", key), suffix)
+            clean_dir = ini.get("User", f"clean_{split}_data_dir")
+            noise_dir = (ini.get("User", f"noise_{split}_data_dir")
+                         if mode == "triplet" else None)
+        cache = os.path.join(cache_dir, f"{name}_{split}.json")
+        index = build_segment_index(
+            files, seq_len, hop, fs, trim=trim, cache_path=cache,
+            use_cache=not first_use, shuffle=shuffle,
+        )
+        ds = SegmentDataset(index, mode, clean_dir, noise_dir)
+        return BatchLoader(ds, batch_size, shuffle=shuffle,
+                           num_threads=max(1, workers)), len(ds)
+
+    train_loader, n_train = build("train")
+    val_loader, n_val = build("val")
+    return train_loader, val_loader, n_train, n_val
+
+
+def make_save_dir(ini: IniConfig, model_name: str) -> str:
+    root = ini.get("User", "saved_root")
+    stamp = datetime.datetime.now().strftime("%Y-%m-%d-%Hh%M")
+    path = os.path.join(root, f"{stamp}_{model_name}")
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+def add_common_train_flags(p: argparse.ArgumentParser):
+    p.add_argument("--cfg_file", type=str, required=True)
+    p.add_argument("--first_use_dataset", action="store_true")
+    p.add_argument("--causal", action="store_true")
+    p.add_argument("--reload", action="store_true")
+    p.add_argument("--reload_savedir", type=str, default=None)
+    p.add_argument("--zdim", type=int, default=128)
+    p.add_argument("--num_samples", type=int, default=1)
+    p.add_argument("--skip_to_use", type=str, default="012345")
+    p.add_argument("--recon_type", type=str, default="real_imag")
+    p.add_argument("--recon_loss_weight", type=str, default="1.0,1.0,0.0")
+    p.add_argument("--resynthesis", action="store_true")
+    p.add_argument("--compute", type=str, default="f32",
+                   choices=["f32", "bf16"])
+    p.add_argument("--encoder_dim_start", type=int, default=32,
+                   help="first conv width; channels are (1, d, 2d, 4d, "
+                        "4d, 8d, 8d) like net_config.py")
+    p.add_argument("--n_devices", type=int, default=None,
+                   help="data-parallel mesh size (default: all devices)")
+    return p
+
+
+def match_clean_paths(noisy_paths, clean_dir: str):
+    """Clean companion per noisy file: same basename if present, else
+    the DNS '*_fileid_<id>' convention (dataload_nsvae.py:177-192)."""
+    from idccrn_vae_tpu.data.segments import companion_paths
+
+    out = []
+    for p in noisy_paths:
+        cand = os.path.join(clean_dir, os.path.basename(p))
+        if not os.path.exists(cand):
+            cand, _ = companion_paths(p, clean_dir, clean_dir)
+        out.append(cand)
+    return out
+
+
+def config_from_meta(meta: dict, key: str = "config") -> DccrnConfig:
+    d = dict(meta[key])
+    d["stft"] = StftConfig(**d["stft"])
+    for k in ("encoder_channels", "kernel", "stride", "skip_to_use"):
+        if k in d:
+            d[k] = tuple(d[k])
+    return DccrnConfig(**d)

@@ -1,0 +1,82 @@
+"""Speech-enhancement evaluation — test_nsvae_se.py / test_se_cvaefinetune.py.
+
+--phase 1: pretrained CVAE decoder + NSVAE noisy encoder.
+--phase 2: phase-2 fine-tuned decoder (classical or adversarial dir).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+
+from idccrn_vae_tpu.cli.common import config_from_meta, match_clean_paths
+from idccrn_vae_tpu.data.segments import find_wavs
+from idccrn_vae_tpu.eval.enhance import Enhancer
+from idccrn_vae_tpu.eval.runners import run_enhancement_eval
+from idccrn_vae_tpu.train.checkpoint import CheckpointManager
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--nsvae_dir", type=str, required=True,
+                   help="NSVAE checkpoint dir (phase 1) or phase-2 dir")
+    p.add_argument("--decoder_dir", type=str, default=None,
+                   help="pretrained CVAE dir (phase 1) — defaults to the "
+                        "decoder stored in nsvae_dir for phase 2")
+    p.add_argument("--phase", type=int, default=1, choices=[1, 2])
+    p.add_argument("--noisy_dir", type=str, required=True)
+    p.add_argument("--clean_dir", type=str, required=True)
+    p.add_argument("--out_dir", type=str, required=True)
+    p.add_argument("--num_samples", type=int, default=10)
+    p.add_argument("--latent_to_use", type=int, default=1)
+    p.add_argument("--outtype", type=str, default="clean_direct",
+                   choices=["clean_direct", "real_imag_mask", "complex_mask",
+                            "phase_mask"])
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--write_wavs", action="store_true")
+    p.add_argument("--compute", type=str, default="bf16",
+                   choices=["f32", "bf16"])
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    ckpt = CheckpointManager(args.nsvae_dir)
+    meta = ckpt.load_meta()
+    best = ckpt.load_best()
+
+    if args.phase == 1:
+        enc_cfg = config_from_meta(meta, "noisy_config")
+        dec_cfg = config_from_meta(meta, "pre_config")
+        enc_vars = best["noisy_enc"]
+        dec_ckpt = CheckpointManager(args.decoder_dir)
+        dec_vars = dec_ckpt.load_best()["dec"]
+        noise_dec_vars = None
+        pad_mode = "sig" if dec_cfg.skip_mode == "real" else "zero"
+    else:
+        enc_cfg = config_from_meta(meta, "enc_config")
+        dec_cfg = config_from_meta(meta, "dec_config")
+        enc_vars = best["encoder"]
+        dec_vars = best["decoder"]
+        noise_dec_vars = best.get("noise_decoder")
+        pad_mode = "sig"
+
+    enc_cfg = dataclasses.replace(enc_cfg, compute=args.compute)
+    dec_cfg = dataclasses.replace(dec_cfg, compute=args.compute)
+
+    enhancer = Enhancer(
+        enc_cfg, dec_cfg, enc_vars, dec_vars, noise_dec_vars,
+        num_samples=args.num_samples, outtype=args.outtype,
+        latent_to_use=args.latent_to_use, pad_mode=pad_mode,
+    )
+    noisy_paths = find_wavs(args.noisy_dir)
+    clean_paths = match_clean_paths(noisy_paths, args.clean_dir)
+    run_enhancement_eval(
+        enhancer, noisy_paths, clean_paths, args.out_dir,
+        batch_size=args.batch_size, write_wavs=args.write_wavs,
+    )
+
+
+if __name__ == "__main__":
+    main()

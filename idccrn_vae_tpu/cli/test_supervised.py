@@ -1,0 +1,46 @@
+"""Supervised DCCRN evaluation — supervised_dccrn/test.py surface
+(without the reference's debug 5-file truncation)."""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+from idccrn_vae_tpu.cli.common import config_from_meta, match_clean_paths
+from idccrn_vae_tpu.data.segments import find_wavs
+from idccrn_vae_tpu.eval.runners import run_supervised_eval
+from idccrn_vae_tpu.models.dccrn import SupervisedDccrn
+from idccrn_vae_tpu.train.checkpoint import CheckpointManager
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model_dir", type=str, required=True)
+    p.add_argument("--model_type", type=str, default="checkpoint",
+                   choices=["checkpoint", "final"],
+                   help="'checkpoint' = best-val snapshot, 'final' = last "
+                        "training state")
+    p.add_argument("--noisy_dir", type=str, required=True)
+    p.add_argument("--clean_dir", type=str, required=True)
+    p.add_argument("--out_dir", type=str, required=True)
+    p.add_argument("--batch_size", type=int, default=8)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    ckpt = CheckpointManager(args.model_dir)
+    cfg = config_from_meta(ckpt.load_meta())
+    if args.model_type == "checkpoint":
+        variables = ckpt.load_best()
+    else:
+        variables = ckpt.load_state()["model"]
+    model = SupervisedDccrn(cfg)
+    noisy_paths = find_wavs(args.noisy_dir)
+    clean_paths = match_clean_paths(noisy_paths, args.clean_dir)
+    run_supervised_eval(model, variables, noisy_paths, clean_paths,
+                        args.out_dir, cfg, batch_size=args.batch_size)
+
+
+if __name__ == "__main__":
+    main()

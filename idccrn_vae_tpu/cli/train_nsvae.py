@@ -1,0 +1,103 @@
+"""NSVAE training — the reference's train_nsvae.py surface.
+
+Pretrained VAE checkpoints are referenced via [User] pre_clean_encoder/
+pre_noise_encoder paths pointing at our CheckpointManager directories
+(meta.json supplies the architecture — no dir-name parsing)."""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+
+from idccrn_vae_tpu.cli.common import (
+    add_common_train_flags,
+    config_from_meta,
+    loaders_from_ini,
+    make_save_dir,
+    model_config,
+)
+from idccrn_vae_tpu.losses.nsvae_loss import NsvaeTrueKlLoss
+from idccrn_vae_tpu.parallel.mesh import auto_mesh
+from idccrn_vae_tpu.train.checkpoint import CheckpointManager
+from idccrn_vae_tpu.train.nsvae import NsvaeTrainer
+from idccrn_vae_tpu.utils.config import load_ini
+from idccrn_vae_tpu.utils.logger import get_logger
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description=__doc__)
+    add_common_train_flags(p)
+    p.add_argument("--nsvae_model", type=str, default="original",
+                   choices=["original", "double", "adapt"])
+    p.add_argument("--latent_num", type=int, default=2)
+    p.add_argument("--alpha", type=float, default=1.0)
+    p.add_argument("--w_resi", type=float, default=0.0)
+    p.add_argument("--w_kl", type=float, default=1.0)
+    p.add_argument("--w_dismiu", type=float, default=0.0)
+    p.add_argument("--matching", type=str, default="speech",
+                   choices=["speech", "both"])
+    p.add_argument("--fclatent", action="store_true")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    ini = load_ini(args.cfg_file)
+
+    # pretrained VAE geometry comes from its meta.json
+    clean_dir = ini.get("User", "pre_clean_encoder")
+    noise_dir = ini.get("User", "pre_noise_encoder")
+    clean_ckpt = CheckpointManager(clean_dir)
+    noise_ckpt = CheckpointManager(noise_dir)
+    pre_cfg = config_from_meta(clean_ckpt.load_meta())
+
+    channel_mode = {"original": "normal", "double": "double",
+                    "adapt": "adapt"}[args.nsvae_model]
+    noisy_cfg = dataclasses.replace(
+        model_config(args, ini, latent_num=args.latent_num,
+                     channel_mode=channel_mode),
+        skip_to_use=pre_cfg.skip_to_use,
+    )
+
+    loss = NsvaeTrueKlLoss(
+        alpha=args.alpha, w_resi=args.w_resi, w_kl=args.w_kl,
+        w_dismiu=args.w_dismiu, cfg=noisy_cfg, matching=args.matching,
+        use_skips=pre_cfg.skip_mode == "real",
+    )
+    trainable = {
+        "clean_enc": ini.getboolean("Network", "clean_encoder"),
+        "noise_enc": ini.getboolean("Network", "noise_encoder"),
+    }
+    mesh = auto_mesh(ini.getint("DataFrame", "batch_size"), args.n_devices)
+    trainer = NsvaeTrainer(
+        pre_cfg, noisy_cfg, loss,
+        learning_rate=float(ini.get("Training", "lr")),
+        trainable=trainable, mesh=mesh,
+    )
+
+    pretrained = {}
+    if clean_ckpt.has_best():
+        pretrained["clean_enc"] = clean_ckpt.load_best()["enc"]
+    if noise_ckpt.has_best():
+        pretrained["noise_enc"] = noise_ckpt.load_best()["enc"]
+
+    train_loader, val_loader, n_train, n_val = loaders_from_ini(
+        ini, "triplet", args.first_use_dataset)
+    model_name = ini.get("User", "model_name")
+    save_dir = (args.reload_savedir if args.reload and args.reload_savedir
+                else make_save_dir(ini, model_name))
+    logger = get_logger(f"{save_dir}/train.log", 1)
+    logger.info("train %d, val %d segments -> %s", n_train, n_val, save_dir)
+    trainer.fit(
+        train_loader, val_loader,
+        epochs=ini.getint("Training", "epochs"),
+        save_dir=save_dir,
+        early_stop_patience=ini.getint("Training", "early_stop_patience"),
+        save_frequency=ini.getint("Training", "save_frequency"),
+        model_name=model_name, resume=args.reload, logger=logger,
+        pretrained=pretrained or None,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -33,6 +33,15 @@ def make_mesh(n_devices: Optional[int] = None,
     return Mesh(np.array(devices), ("data",))
 
 
+def auto_mesh(batch_size: int, n_devices: Optional[int] = None) -> Mesh:
+    """Largest mesh (<= n_devices or all devices) that divides batch_size."""
+    avail = len(jax.devices())
+    n = min(n_devices or avail, avail)
+    while n > 1 and batch_size % n:
+        n -= 1
+    return make_mesh(n)
+
+
 def data_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 
