@@ -62,6 +62,10 @@ class DccrnConfig:
     # 'prob'  — p=0.5 real vs zeros at train time (…_prob_skip)
     # 'runtime' — twophase decoder: pad mode chosen per call ('zero'|'sig')
     skip_mode: Literal["real", "none", "zero", "prob", "runtime"] = "real"
+    # for skip_mode='prob': when the per-forward coin says "no real
+    # skips", 1 concatenates zeros, 2 duplicates the running feature map
+    # (pvae_module.py:1691-1694, 1753-1758).
+    skip_prob: int = 1
     recon_type: Literal["mask", "real_imag"] = "real_imag"
     resynthesis: bool = False
     # 'f32' | 'bf16': dtype for conv/LSTM/dense compute (MXU path).

@@ -123,6 +123,14 @@ def apply_decoder_stack(
     """
     n = cfg.num_stages
     new_stats = []
+    # prob mode: ONE coin per forward (pvae_module.py:1731-1737), real
+    # skips when it lands true (always at eval), zeros or a self-copy of
+    # the running feature map otherwise (skip_prob 1 / 2).
+    if cfg.skip_mode == "prob" and train:
+        assert skip_rng is not None
+        use_real_skips = jax.random.bernoulli(skip_rng, 0.5)
+    else:
+        use_real_skips = None
     for i, (p, s) in enumerate(zip(params, stats)):
         if cfg.skip_mode != "none" and i in cfg.skip_to_use:
             skip = skips[n - 1 - i]
@@ -131,11 +139,9 @@ def apply_decoder_stack(
                 cfg.skip_mode == "zero"
                 or (cfg.skip_mode == "runtime" and pad_mode == "zero")
             )
-            if cfg.skip_mode == "prob" and train:
-                assert skip_rng is not None
-                skip_rng, sub = jax.random.split(skip_rng)
-                coin = jax.random.bernoulli(sub, 0.5)
-                skip = jnp.where(coin, skip, jnp.zeros_like(skip))
+            if use_real_skips is not None:
+                alt = jnp.zeros_like(skip) if cfg.skip_prob == 1 else x
+                skip = jnp.where(use_real_skips, skip, alt)
             elif use_zeros:
                 skip = jnp.zeros_like(skip)
             x = cpack_concat(x, skip)

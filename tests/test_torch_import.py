@@ -1,0 +1,222 @@
+"""Torch-checkpoint import parity.
+
+Builds a reference-named torch state_dict, imports it, and compares our
+encoder stack (eval mode) against a torch oracle composed of the
+documented reference semantics (conv pair + complex-BN whitening with
+running stats + shared-alpha PReLU).
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as tF
+
+import jax
+import jax.numpy as jnp
+
+from idccrn_vae_tpu.models.config import DccrnConfig
+from idccrn_vae_tpu.models.dccrn import SupervisedDccrn
+from idccrn_vae_tpu.models.modules import apply_encoder_stack
+from idccrn_vae_tpu.models.torch_import import (
+    convert_encoder_stack,
+    import_supervised_dccrn,
+)
+
+EPS = 1e-5
+
+TINY = DccrnConfig(
+    encoder_channels=(1, 3, 5),
+    zdim=2,
+    num_samples=1,
+    causal=False,
+)
+# adjust: only 2 stages; freq plan must stay valid for kernel 5
+TINY = dataclasses.replace(TINY, encoder_channels=(1, 3, 5))
+
+
+def _mk_state_dict(cfg, seed=0):
+    """Reference-named random state_dict for the encoder stack."""
+    rng = np.random.default_rng(seed)
+    sd = {}
+    ch = cfg.encoder_channels
+    kh, kw = cfg.kernel
+    for i in range(cfg.num_stages):
+        cin, cout = ch[i], ch[i + 1]
+        pre = f"encoders.{i}"
+        sd[f"{pre}.conv.conv_re.weight"] = rng.standard_normal(
+            (cout, cin, kh, kw)).astype(np.float32) * 0.3
+        sd[f"{pre}.conv.conv_im.weight"] = rng.standard_normal(
+            (cout, cin, kh, kw)).astype(np.float32) * 0.3
+        sd[f"{pre}.conv.conv_re.bias"] = rng.standard_normal(cout).astype(
+            np.float32) * 0.1
+        sd[f"{pre}.conv.conv_im.bias"] = rng.standard_normal(cout).astype(
+            np.float32) * 0.1
+        sd[f"{pre}.bn.gamma_rr"] = np.ones(cout, np.float32)
+        sd[f"{pre}.bn.gamma_ri"] = rng.standard_normal(cout).astype(
+            np.float32) * 0.1
+        sd[f"{pre}.bn.gamma_ii"] = np.ones(cout, np.float32)
+        sd[f"{pre}.bn.beta_r"] = rng.standard_normal(cout).astype(
+            np.float32) * 0.1
+        sd[f"{pre}.bn.beta_i"] = rng.standard_normal(cout).astype(
+            np.float32) * 0.1
+        sd[f"{pre}.bn.running_mean_real"] = rng.standard_normal(
+            (1, cout, 1, 1)).astype(np.float32) * 0.2
+        sd[f"{pre}.bn.running_mean_imag"] = rng.standard_normal(
+            (1, cout, 1, 1)).astype(np.float32) * 0.2
+        sd[f"{pre}.bn.Vrr"] = (1.0 + 0.3 * rng.random((1, cout, 1, 1))).astype(
+            np.float32)
+        sd[f"{pre}.bn.Vri"] = (0.1 * rng.standard_normal(
+            (1, cout, 1, 1))).astype(np.float32)
+        sd[f"{pre}.bn.Vii"] = (1.0 + 0.3 * rng.random((1, cout, 1, 1))).astype(
+            np.float32)
+        sd[f"{pre}.prelu.weight"] = np.array([0.25], np.float32)
+    return sd
+
+
+def _torch_encoder_forward(sd, cfg, xr, xi):
+    """Eval-mode oracle: conv pair -> CBN(running stats) -> PReLU."""
+    stride, padding = cfg.stride, (cfg.freq_pad, 0)
+    for i in range(cfg.num_stages):
+        pre = f"encoders.{i}"
+        wr = torch.from_numpy(sd[f"{pre}.conv.conv_re.weight"])
+        wi = torch.from_numpy(sd[f"{pre}.conv.conv_im.weight"])
+        br = torch.from_numpy(sd[f"{pre}.conv.conv_re.bias"])
+        bi = torch.from_numpy(sd[f"{pre}.conv.conv_im.bias"])
+        conv = lambda x, w, b: tF.conv2d(x, w, b, stride=stride,
+                                         padding=padding)
+        re = conv(xr, wr, br) - conv(xi, wi, bi)
+        im = conv(xi, wr, br) + conv(xr, wi, bi)
+        # complex BN, eval path with running stats
+        t = lambda k: torch.from_numpy(sd[f"{pre}.bn.{k}"])
+        shp = (1, -1, 1, 1)
+        rc = re - t("running_mean_real")
+        ic = im - t("running_mean_imag")
+        vrr, vri, vii = t("Vrr"), t("Vri"), t("Vii")
+        tau = vrr + vii
+        det = torch.clamp(vrr * vii - vri**2 + EPS, min=1e-8)
+        s = torch.sqrt(det)
+        tt = torch.sqrt(tau + 2 * s + EPS)
+        inv = 1.0 / (s * tt + EPS)
+        wrr, wii, wri = (vii + s) * inv, (vrr + s) * inv, -vri * inv
+        g_rr = t("gamma_rr").view(shp)
+        g_ri = t("gamma_ri").view(shp)
+        g_ii = t("gamma_ii").view(shp)
+        zrr = g_rr * wrr + g_ri * wri
+        zri = g_rr * wri + g_ri * wii
+        zir = g_ri * wrr + g_ii * wri
+        zii = g_ri * wri + g_ii * wii
+        re = zrr * rc + zri * ic + t("beta_r").view(shp)
+        im = zir * rc + zii * ic + t("beta_i").view(shp)
+        alpha = float(sd[f"{pre}.prelu.weight"][0])
+        xr = torch.where(re >= 0, re, alpha * re)
+        xi = torch.where(im >= 0, im, alpha * im)
+    return xr, xi
+
+
+def test_imported_encoder_matches_torch_oracle():
+    cfg = TINY
+    sd = _mk_state_dict(cfg)
+    params, stats = convert_encoder_stack(sd, "encoders", cfg.num_stages)
+
+    rng = np.random.default_rng(1)
+    b, f, t = 2, 257, 9
+    xr = rng.standard_normal((b, 1, f, t)).astype(np.float32)
+    xi = rng.standard_normal((b, 1, f, t)).astype(np.float32)
+    ref_r, ref_i = _torch_encoder_forward(
+        sd, cfg, torch.from_numpy(xr), torch.from_numpy(xi))
+
+    x = jnp.concatenate([
+        jnp.asarray(np.transpose(xr, (0, 2, 3, 1))),
+        jnp.asarray(np.transpose(xi, (0, 2, 3, 1)))], axis=-1)
+    out, _skips, _stats = apply_encoder_stack(params, stats, x, cfg,
+                                              train=False)
+    c = out.shape[-1] // 2
+    our_r = np.transpose(np.asarray(out[..., :c]), (0, 3, 1, 2))
+    our_i = np.transpose(np.asarray(out[..., c:]), (0, 3, 1, 2))
+    np.testing.assert_allclose(our_r, ref_r.numpy(), atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(our_i, ref_i.numpy(), atol=2e-4, rtol=1e-3)
+
+
+def test_import_supervised_tree_structure():
+    """Importing a synthetic full DCCRN_ state_dict yields a tree with
+    the same structure as a fresh init."""
+    cfg = dataclasses.replace(
+        DccrnConfig(), encoder_channels=(1, 2, 2, 4, 4, 4, 4), zdim=4,
+        lstm_hidden=4)
+    model = SupervisedDccrn(cfg)
+    init_vars = model.init(jax.random.PRNGKey(0))
+
+    # synthesize state_dict from the init tree (invert the mapping)
+    sd = {}
+    p = init_vars["params"]
+    rngi = np.random.default_rng(0)
+    for i, stage in enumerate(p["encoder"]):
+        pre = f"std_DCCRN.encoders.{i}"
+        sd[f"{pre}.conv.conv_re.weight"] = np.transpose(
+            np.asarray(stage["conv"]["wr"]), (3, 2, 0, 1))
+        sd[f"{pre}.conv.conv_im.weight"] = np.transpose(
+            np.asarray(stage["conv"]["wi"]), (3, 2, 0, 1))
+        sd[f"{pre}.conv.conv_re.bias"] = np.asarray(stage["conv"]["br"])
+        sd[f"{pre}.conv.conv_im.bias"] = np.asarray(stage["conv"]["bi"])
+        for k in ("gamma_rr", "gamma_ri", "gamma_ii", "beta_r", "beta_i"):
+            sd[f"{pre}.bn.{k}"] = np.asarray(stage["bn"][k])
+        c = len(stage["bn"]["gamma_rr"])
+        for k in ("running_mean_real", "running_mean_imag"):
+            sd[f"{pre}.bn.{k}"] = (0.2 * rngi.standard_normal(
+                (1, c, 1, 1))).astype(np.float32)
+        for k in ("Vrr", "Vii"):
+            sd[f"{pre}.bn.{k}"] = (1.0 + 0.3 * rngi.random(
+                (1, c, 1, 1))).astype(np.float32)
+        sd[f"{pre}.bn.Vri"] = (0.1 * rngi.standard_normal(
+            (1, c, 1, 1))).astype(np.float32)
+        sd[f"{pre}.prelu.weight"] = np.array([0.25], np.float32)
+    for i, stage in enumerate(p["decoder"]):
+        pre = f"std_DCCRN.decoders.{i}"
+        sd[f"{pre}.transconv.tconv_re.weight"] = np.transpose(
+            np.asarray(stage["conv"]["wr"]), (2, 3, 0, 1))
+        sd[f"{pre}.transconv.tconv_im.weight"] = np.transpose(
+            np.asarray(stage["conv"]["wi"]), (2, 3, 0, 1))
+        sd[f"{pre}.transconv.tconv_re.bias"] = np.asarray(stage["conv"]["br"])
+        sd[f"{pre}.transconv.tconv_im.bias"] = np.asarray(stage["conv"]["bi"])
+        for k in ("gamma_rr", "gamma_ri", "gamma_ii", "beta_r", "beta_i"):
+            sd[f"{pre}.bn.{k}"] = np.asarray(stage["bn"][k])
+        c = len(stage["bn"]["gamma_rr"])
+        for k in ("running_mean_real", "running_mean_imag"):
+            sd[f"{pre}.bn.{k}"] = (0.2 * rngi.standard_normal(
+                (1, c, 1, 1))).astype(np.float32)
+        for k in ("Vrr", "Vii"):
+            sd[f"{pre}.bn.{k}"] = (1.0 + 0.3 * rngi.random(
+                (1, c, 1, 1))).astype(np.float32)
+        sd[f"{pre}.bn.Vri"] = (0.1 * rngi.standard_normal(
+            (1, c, 1, 1))).astype(np.float32)
+        sd[f"{pre}.prelu.weight"] = np.array([0.25], np.float32)
+    for part in ("re", "im"):
+        for k in range(cfg.lstm_layers):
+            lp = p["lstm"][part][k]
+            pre = f"std_DCCRN.lstms.0.lstm_{part}"
+            sd[f"{pre}.weight_ih_l{k}"] = np.asarray(lp["w_ih"]).T
+            sd[f"{pre}.weight_hh_l{k}"] = np.asarray(lp["w_hh"]).T
+            sd[f"{pre}.bias_ih_l{k}"] = np.asarray(lp["b_ih"])
+            sd[f"{pre}.bias_hh_l{k}"] = np.asarray(lp["b_hh"])
+    sd["std_DCCRN.dense.linear_read.weight"] = np.asarray(p["dense"]["wr"]).T
+    sd["std_DCCRN.dense.linear_imag.weight"] = np.asarray(p["dense"]["wi"]).T
+    sd["std_DCCRN.dense.linear_read.bias"] = np.asarray(p["dense"]["br"])
+    sd["std_DCCRN.dense.linear_imag.bias"] = np.asarray(p["dense"]["bi"])
+
+    imported = import_supervised_dccrn(sd, cfg)
+    # same treedef and shapes; params round-trip exactly
+    ref_leaves, ref_def = jax.tree.flatten(init_vars["params"])
+    imp_leaves, imp_def = jax.tree.flatten(imported["params"])
+    assert ref_def == imp_def
+    for a, b_ in zip(ref_leaves, imp_leaves):
+        assert a.shape == b_.shape
+    np.testing.assert_allclose(
+        np.asarray(imported["params"]["dense"]["wr"]),
+        np.asarray(p["dense"]["wr"]))
+    # forward runs
+    wav = jnp.asarray(np.random.default_rng(2).standard_normal(
+        (1, 1600)), jnp.float32) * 0.1
+    (out, _), _ = model.apply(imported, wav, train=False)
+    assert np.isfinite(np.asarray(out)).all()
