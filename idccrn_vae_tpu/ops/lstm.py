@@ -118,8 +118,21 @@ def init_complex_lstm(key, input_size: int, hidden_size: int, num_layers: int,
     }
 
 
+def _pallas_ok(hidden: int, backend: str) -> bool:
+    if backend == "scan":
+        return False
+    from idccrn_vae_tpu.ops.pallas.lstm_kernel import pallas_lstm_available
+
+    if backend == "pallas":
+        return True
+    # auto currently resolves to the scan path: on v5e the XLA while-loop
+    # scan benches at parity with (or ahead of) the Pallas kernel for the
+    # reference geometry, so the kernel stays opt-in (backend='pallas').
+    return False
+
+
 def complex_lstm(x: jnp.ndarray, params: dict, unroll: int = 4,
-                 compute_dtype=None) -> jnp.ndarray:
+                 compute_dtype=None, backend: str = "auto") -> jnp.ndarray:
     """Complex LSTM over a cpack sequence.
 
     Args:
@@ -136,14 +149,36 @@ def complex_lstm(x: jnp.ndarray, params: dict, unroll: int = 4,
     re, im = jnp.split(x, 2, axis=-1)
     xin = jnp.concatenate([re, im], axis=0)  # (2B, T, In)
 
-    # Stack re/im weights on a leading axis and vmap: XLA batches every
-    # matmul (input projection and the in-scan recurrence) over the two
-    # weight sets, so the whole complex LSTM is one scan.
+    # Stack re/im weights on a leading axis: every matmul (input
+    # projection and the in-recurrence step) batches over the two
+    # weight sets, so the whole complex LSTM is ONE recurrence.
     stacked = jax.tree.map(lambda a, b_: jnp.stack([a, b_]),
                            list(params["re"]), list(params["im"]))
-    out = jax.vmap(
-        lambda p: lstm(xin, p, unroll=unroll, compute_dtype=compute_dtype)
-    )(stacked)
+    hidden = params["re"][0]["w_hh"].shape[0]
+
+    if _pallas_ok(hidden, backend):
+        from idccrn_vae_tpu.ops.pallas.lstm_kernel import stacked_lstm_layer
+
+        cur = jnp.broadcast_to(xin[None], (2,) + xin.shape)  # (2, 2B, T, In)
+        for p in stacked:
+            w_ih, w_hh = p["w_ih"], p["w_hh"]
+            if compute_dtype is not None:
+                cur = cur.astype(compute_dtype)
+                w_ih = w_ih.astype(compute_dtype)
+                w_hh = w_hh.astype(compute_dtype)
+            x_proj = (
+                jnp.einsum("wbti,wih->wtbh", cur, w_ih,
+                           preferred_element_type=jnp.float32)
+                + (p["b_ih"] + p["b_hh"])[:, None, None, :]
+            )
+            # kernel consumes/produces (W, T, B, *)
+            cur = jnp.transpose(stacked_lstm_layer(x_proj, w_hh),
+                                (0, 2, 1, 3))
+        out = cur  # (2, 2B, T, H)
+    else:
+        out = jax.vmap(
+            lambda p: lstm(xin, p, unroll=unroll, compute_dtype=compute_dtype)
+        )(stacked)
     # out: (2, 2B, T, H); [0] = lstm_re on [xr;xi], [1] = lstm_im on [xr;xi].
     out_re = out[0, :b] - out[1, b:]
     out_im = out[0, b:] + out[1, :b]
