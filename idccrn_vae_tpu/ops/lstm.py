@@ -51,14 +51,16 @@ def init_lstm(key, input_size: int, hidden_size: int, num_layers: int,
 
 
 def _lstm_layer(x_proj: jnp.ndarray, w_hh: jnp.ndarray, hidden: int,
-                unroll: int = 4) -> jnp.ndarray:
+                unroll: int = 4, carry=None, return_carry: bool = False):
     """Scan one LSTM layer given precomputed input projections.
 
     x_proj: (T, ..., 4H) fp32 — input matmul + both biases applied.
     w_hh:   (H, 4H), possibly reduced precision (bf16): the recurrent
             matmul runs at w_hh's dtype with fp32 accumulation; the
             cell state c stays fp32 for stability.
-    Returns outputs (T, ..., H) at w_hh's dtype.
+    carry:  optional (h, c) initial state (for streaming inference).
+    Returns outputs (T, ..., H) at w_hh's dtype (+ final carry if
+    return_carry).
     """
     cdtype = w_hh.dtype
 
@@ -75,26 +77,36 @@ def _lstm_layer(x_proj: jnp.ndarray, w_hh: jnp.ndarray, hidden: int,
         return (h, c), h
 
     batch_shape = x_proj.shape[1:-1]
-    h0 = jnp.zeros(batch_shape + (hidden,), dtype=cdtype)
-    c0 = jnp.zeros(batch_shape + (hidden,), dtype=jnp.float32)
-    (_, _), out = lax.scan(step, (h0, c0), x_proj, unroll=unroll)
+    if carry is None:
+        carry = (
+            jnp.zeros(batch_shape + (hidden,), dtype=cdtype),
+            jnp.zeros(batch_shape + (hidden,), dtype=jnp.float32),
+        )
+    else:
+        carry = (carry[0].astype(cdtype), carry[1].astype(jnp.float32))
+    final, out = lax.scan(step, carry, x_proj, unroll=unroll)
+    if return_carry:
+        return out, final
     return out
 
 
 def lstm(x: jnp.ndarray, layers: Sequence[dict], unroll: int = 4,
-         compute_dtype=None) -> jnp.ndarray:
+         compute_dtype=None, state=None, return_state: bool = False):
     """Multi-layer unidirectional LSTM.
 
     Args:
       x: (B, T, In).
       compute_dtype: optional reduced precision (e.g. bf16) for the
         matmul operands; accumulation is always fp32.
+      state: optional list of per-layer (h, c) carries (streaming).
     Returns:
-      (B, T, H) fp32 outputs of the last layer.
+      (B, T, H) fp32 outputs of the last layer (+ final state list if
+      return_state).
     """
     hidden = layers[0]["w_hh"].shape[0]
     h = jnp.swapaxes(x, 0, 1)  # (T, B, In) — scan over leading axis
-    for p in layers:
+    finals = []
+    for li, p in enumerate(layers):
         w_ih, w_hh = p["w_ih"], p["w_hh"]
         if compute_dtype is not None:
             h = h.astype(compute_dtype)
@@ -104,8 +116,14 @@ def lstm(x: jnp.ndarray, layers: Sequence[dict], unroll: int = 4,
             jnp.matmul(h, w_ih, preferred_element_type=jnp.float32)
             + p["b_ih"] + p["b_hh"]
         )
-        h = _lstm_layer(x_proj, w_hh, hidden, unroll=unroll)
-    return jnp.swapaxes(h, 0, 1).astype(jnp.float32)
+        carry = state[li] if state is not None else None
+        h, final = _lstm_layer(x_proj, w_hh, hidden, unroll=unroll,
+                               carry=carry, return_carry=True)
+        finals.append(final)
+    out = jnp.swapaxes(h, 0, 1).astype(jnp.float32)
+    if return_state:
+        return out, finals
+    return out
 
 
 def init_complex_lstm(key, input_size: int, hidden_size: int, num_layers: int,
@@ -132,7 +150,8 @@ def _pallas_ok(hidden: int, backend: str) -> bool:
 
 
 def complex_lstm(x: jnp.ndarray, params: dict, unroll: int = 4,
-                 compute_dtype=None, backend: str = "auto") -> jnp.ndarray:
+                 compute_dtype=None, backend: str = "auto",
+                 state=None, return_state: bool = False):
     """Complex LSTM over a cpack sequence.
 
     Args:
@@ -176,10 +195,29 @@ def complex_lstm(x: jnp.ndarray, params: dict, unroll: int = 4,
                                 (0, 2, 1, 3))
         out = cur  # (2, 2B, T, H)
     else:
-        out = jax.vmap(
-            lambda p: lstm(xin, p, unroll=unroll, compute_dtype=compute_dtype)
-        )(stacked)
+        if return_state or state is not None:
+            out, final_state = jax.vmap(
+                lambda p, s: lstm(xin, p, unroll=unroll,
+                                  compute_dtype=compute_dtype, state=s,
+                                  return_state=True)
+            )(stacked, state if state is not None
+              else _zero_state(len(stacked), hidden, 2 * b, x.dtype))
+        else:
+            out = jax.vmap(
+                lambda p: lstm(xin, p, unroll=unroll,
+                               compute_dtype=compute_dtype)
+            )(stacked)
     # out: (2, 2B, T, H); [0] = lstm_re on [xr;xi], [1] = lstm_im on [xr;xi].
     out_re = out[0, :b] - out[1, b:]
     out_im = out[0, b:] + out[1, :b]
-    return jnp.concatenate([out_re, out_im], axis=-1)
+    result = jnp.concatenate([out_re, out_im], axis=-1)
+    if return_state:
+        return result, final_state
+    return result
+
+
+def _zero_state(num_layers: int, hidden: int, batch: int, dtype):
+    """Stacked-zero LSTM state: list per layer of (h, c), each with a
+    leading weight-set axis of 2 for the complex LSTM's vmap."""
+    z = lambda: jnp.zeros((2, batch, hidden), dtype)
+    return [(z(), z()) for _ in range(num_layers)]

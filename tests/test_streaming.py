@@ -1,0 +1,112 @@
+"""Streaming causal inference: state-carry exactness + offline parity."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from idccrn_vae_tpu.eval.streaming import StreamingEnhancer
+from idccrn_vae_tpu.models.config import DccrnConfig, bottleneck_dims
+from idccrn_vae_tpu.models.modules import (
+    apply_decoder_stack,
+    apply_encoder_stack,
+    flatten_bottleneck,
+    mask_reconstruct,
+    unflatten_bottleneck,
+)
+from idccrn_vae_tpu.models.nsvae import NsvaeEncoder
+from idccrn_vae_tpu.models.vae import VaeDecoder, parse_sliced_head
+from idccrn_vae_tpu.ops.dense import complex_dense
+from idccrn_vae_tpu.ops.lstm import complex_lstm
+from idccrn_vae_tpu.ops.stft import istft, stft
+
+CFG = DccrnConfig(
+    encoder_channels=(1, 2, 2, 4, 4, 4, 4),
+    zdim=4,
+    num_samples=1,
+    causal=True,
+    recon_type="mask",
+)
+B = 2
+
+
+def _models():
+    enc = NsvaeEncoder(CFG)
+    dec = VaeDecoder(CFG)
+    return (enc.init(jax.random.PRNGKey(0)), dec.init(jax.random.PRNGKey(1)))
+
+
+def _wav(n, zero_head=True, seed=0):
+    x = (np.random.default_rng(seed).standard_normal((B, n)) * 0.1).astype(
+        np.float32)
+    if zero_head:
+        x[:, :400] = 0.0  # reflect-pad of a zero head == zero-pad
+    return x
+
+
+def test_chunk_size_invariance():
+    enc_vars, dec_vars = _models()
+    n = 4000  # 40 frames
+    wav = _wav(n)
+    small = StreamingEnhancer(CFG, CFG, enc_vars, dec_vars, chunk_frames=8)
+    big = StreamingEnhancer(CFG, CFG, enc_vars, dec_vars, chunk_frames=40)
+    out_small = small.stream(wav)
+    out_big = big.stream(wav)
+    np.testing.assert_allclose(out_small, out_big, atol=1e-4, rtol=1e-3)
+
+
+def _offline_mu_forward(enc_vars, dec_vars, wav):
+    """Offline causal forward with z = mu through the NON-streaming code
+    path (offline padding), for cross-validation."""
+    s = CFG.stft
+    stft_x = stft(jnp.asarray(wav), s.n_fft, s.hop, s.win_length)
+    x, skips, _ = apply_encoder_stack(
+        enc_vars["params"]["encoder"], enc_vars["stats"]["encoder"],
+        stft_x, CFG, train=False)
+    lstm_out = complex_lstm(flatten_bottleneck(x),
+                            enc_vars["params"]["lstm"], backend="scan")
+    gauss = parse_sliced_head(lstm_out, CFG.zdim, offset=0)
+    z = jnp.concatenate([gauss.mu_r, gauss.mu_i], axis=-1)
+    c, f = bottleneck_dims(CFG)
+    dense_out = complex_dense(z, dec_vars["params"]["dense"])
+    p = unflatten_bottleneck(dense_out, c, f)
+    out, _ = apply_decoder_stack(
+        dec_vars["params"]["decoder"], dec_vars["stats"]["decoder"], p,
+        skips, CFG, train=False, num_samples=1)
+    est = mask_reconstruct(out, stft_x)
+    return np.asarray(istft(est, s.n_fft, s.hop, s.win_length))
+
+
+def test_streaming_matches_offline():
+    """Streaming frames sit at stream offset n_fft - hop (412 zeros of
+    initial state); align the offline oracle by left-padding the input
+    with (n_fft - hop) - n_fft//2 = 156 zeros, after which
+    streaming[q] == offline[q - n_fft//2] exactly."""
+    enc_vars, dec_vars = _models()
+    n = 3000  # 30 frames
+    wav = _wav(n, zero_head=True, seed=3)
+    streamer = StreamingEnhancer(CFG, CFG, enc_vars, dec_vars,
+                                 chunk_frames=10)
+    out_stream = streamer.stream(wav)
+    shift = (CFG.stft.n_fft - CFG.stft.hop) - CFG.stft.n_fft // 2
+    wav_shifted = np.pad(wav, ((0, 0), (shift, 0)))
+    out_offline = _offline_mu_forward(enc_vars, dec_vars, wav_shifted)
+    delay = CFG.stft.n_fft // 2
+    a = out_stream[:, delay:]
+    b = out_offline[:, : a.shape[1]]
+    np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-3)
+
+
+def test_stream_shapes_and_latency():
+    enc_vars, dec_vars = _models()
+    streamer = StreamingEnhancer(CFG, CFG, enc_vars, dec_vars,
+                                 chunk_frames=5)
+    state = streamer.init_state(B)
+    chunk = _wav(500, zero_head=False, seed=4)
+    out, state2 = streamer.process_chunk(state, chunk)
+    assert out.shape == (B, 500)
+    assert np.isfinite(np.asarray(out)).all()
+    # state advances
+    assert not np.allclose(np.asarray(state2.pad_tail),
+                           np.asarray(state.pad_tail))
