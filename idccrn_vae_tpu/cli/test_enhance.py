@@ -35,6 +35,11 @@ def build_parser():
                             "phase_mask"])
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--write_wavs", action="store_true")
+    p.add_argument("--latent_diag", action="store_true",
+                   help="collect mu covariance + speech/noise silhouette "
+                        "diagnostics (test_nsvae_se.py latent analysis)")
+    p.add_argument("--n_devices", type=int, default=None,
+                   help="shard eval batches over a data mesh")
     p.add_argument("--compute", type=str, default="bf16",
                    choices=["f32", "bf16"])
     return p
@@ -65,16 +70,22 @@ def main(argv=None):
     enc_cfg = dataclasses.replace(enc_cfg, compute=args.compute)
     dec_cfg = dataclasses.replace(dec_cfg, compute=args.compute)
 
+    mesh = None
+    if args.n_devices:
+        from idccrn_vae_tpu.parallel.mesh import auto_mesh
+
+        mesh = auto_mesh(args.batch_size, args.n_devices)
     enhancer = Enhancer(
         enc_cfg, dec_cfg, enc_vars, dec_vars, noise_dec_vars,
         num_samples=args.num_samples, outtype=args.outtype,
-        latent_to_use=args.latent_to_use, pad_mode=pad_mode,
+        latent_to_use=args.latent_to_use, pad_mode=pad_mode, mesh=mesh,
     )
     noisy_paths = find_wavs(args.noisy_dir)
     clean_paths = match_clean_paths(noisy_paths, args.clean_dir)
     run_enhancement_eval(
         enhancer, noisy_paths, clean_paths, args.out_dir,
         batch_size=args.batch_size, write_wavs=args.write_wavs,
+        latent_diagnostics=args.latent_diag,
     )
 
 

@@ -90,9 +90,14 @@ class Enhancer:
         pad_mode: str = "sig",
         bucket_frames: int = 100,
         compute_dtype=jnp.float32,
+        mesh=None,
     ):
+        """mesh: optional data-parallel `Mesh` — batches shard over it so
+        one eval pass uses every chip (greenfield vs the reference's
+        single-GPU batch-1 loop)."""
         self.enc_cfg = enc_cfg
         self.dec_cfg = dec_cfg
+        self.mesh = mesh
         self.encoder = NsvaeEncoder(enc_cfg)
         self.decoder = VaeDecoder(dec_cfg)
         self.noise_decoder = VaeDecoder(dec_cfg) if noise_dec_vars else None
@@ -154,9 +159,52 @@ class Enhancer:
         """Enhance a padded batch (B, L); L must be a bucket length."""
         rng = jax.random.PRNGKey(0) if rng is None else rng
         fn = self._fn_for(wavs.shape[1])
+        wavs = jnp.asarray(wavs)
+        if self.mesh is not None:
+            from idccrn_vae_tpu.parallel.mesh import shard_batch
+
+            wavs = shard_batch(self.mesh, wavs)
         out = fn(self.enc_vars, self.dec_vars, self.noise_dec_vars,
-                 jnp.asarray(wavs), rng)
+                 wavs, rng)
         return np.asarray(out)
+
+    def encode_latents(self, wavs: Sequence[np.ndarray],
+                       batch_size: int = 8, rng=None):
+        """Posterior means for latent diagnostics (test_nsvae_se.py:39-76):
+        returns (speech_mus, noise_mus) lists of (T, zdim, 2) arrays
+        (noise list empty for latent_num=1)."""
+        rng = jax.random.PRNGKey(0) if rng is None else rng
+
+        @jax.jit
+        def enc_fn(enc_vars, wav, key):
+            out, _ = self.encoder.apply(enc_vars, wav, train=False, rng=key,
+                                        num_samples=1)
+            mu_s = jnp.stack([out.gauss_speech.mu_r, out.gauss_speech.mu_i],
+                             axis=-1)
+            if out.gauss_noise is not None:
+                mu_n = jnp.stack([out.gauss_noise.mu_r,
+                                  out.gauss_noise.mu_i], axis=-1)
+            else:
+                mu_n = jnp.zeros_like(mu_s)
+            return mu_s, mu_n
+
+        speech, noise = [], []
+        order = np.argsort([len(w) for w in wavs])
+        i = 0
+        while i < len(order):
+            chunk = order[i : i + batch_size]
+            bucket = self.bucket_length(max(len(wavs[j]) for j in chunk))
+            batch = np.zeros((len(chunk), bucket), np.float32)
+            for r, j in enumerate(chunk):
+                batch[r, : len(wavs[j])] = wavs[j]
+            rng, sub = jax.random.split(rng)
+            mu_s, mu_n = enc_fn(self.enc_vars, jnp.asarray(batch), sub)
+            for r in range(len(chunk)):
+                speech.append(np.asarray(mu_s[r]))
+                if self.enc_cfg.latent_num == 2:
+                    noise.append(np.asarray(mu_n[r]))
+            i += batch_size
+        return speech, noise
 
     def enhance_utterances(
         self, wavs: Sequence[np.ndarray], batch_size: int = 8, rng=None,

@@ -78,6 +78,7 @@ def run_enhancement_eval(
     batch_size: int = 8,
     write_wavs: bool = False,
     report_noisy_baseline: bool = True,
+    latent_diagnostics: bool = False,
     logger=None,
     rng=None,
 ) -> dict:
@@ -109,6 +110,24 @@ def run_enhancement_eval(
             k: {"mean": summary[k]["mean"] - noisy_summary[k]["mean"]}
             for k in summary
         }
+
+    if latent_diagnostics:
+        from idccrn_vae_tpu.eval.diagnostics import (
+            latent_silhouette,
+            mu_covariance,
+        )
+
+        speech_mus, noise_mus = enhancer.encode_latents(noisy)
+        diag = {
+            k: v.tolist() if hasattr(v, "tolist") else v
+            for k, v in mu_covariance(speech_mus).items()
+            if not k.startswith("cov_")
+        }
+        if noise_mus:
+            sil = latent_silhouette(speech_mus, noise_mus)
+            diag["silhouette_speech_vs_noise"] = sil
+            logger.info("latent silhouette (speech vs noise): %s", sil)
+        result["latent_diag"] = diag
 
     with open(os.path.join(out_dir, "per_utterance.json"), "w") as f:
         json.dump(per_utt, f, indent=1)

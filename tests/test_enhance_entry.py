@@ -72,3 +72,18 @@ def test_graft_entry_compiles():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(8)
+
+
+def test_latent_diag_and_mesh():
+    from idccrn_vae_tpu.parallel.mesh import make_mesh
+
+    e = _enhancer(latent_num=2, channel_mode="double")
+    e.mesh = make_mesh(2)
+    rng = np.random.default_rng(2)
+    wavs = [rng.standard_normal(1500).astype(np.float32) * 0.1
+            for _ in range(2)]
+    speech, noise = e.encode_latents(wavs, batch_size=2)
+    assert len(speech) == 2 and len(noise) == 2
+    assert speech[0].shape[-1] == 2  # (T, zdim, 2)
+    out = e.enhance_utterances(wavs, batch_size=2)
+    assert len(out) == 2
