@@ -1,0 +1,90 @@
+"""Checkpoint save/restore + training resume continuity."""
+
+import dataclasses
+import os
+
+import jax
+import numpy as np
+
+from idccrn_vae_tpu.data.features import spec_features
+from idccrn_vae_tpu.losses.vae_loss import PretrainVaeLoss, kl_annealing_schedule
+from idccrn_vae_tpu.models.config import DccrnConfig
+from idccrn_vae_tpu.train.checkpoint import CheckpointManager
+from idccrn_vae_tpu.train.optim import (
+    PlateauScheduler,
+    get_learning_rate,
+    make_adam,
+    set_learning_rate,
+)
+from idccrn_vae_tpu.train.pretrain import PretrainTrainer
+
+TINY = DccrnConfig(encoder_channels=(1, 2, 2, 4, 4, 4, 4), zdim=4,
+                   num_samples=1)
+
+
+class _Loader:
+    def __init__(self, n=2, b=2, length=1600, seed=0):
+        rng = np.random.default_rng(seed)
+        self.batches = [rng.standard_normal((b, length)).astype(np.float32)
+                        for _ in range(n)]
+
+    def __iter__(self):
+        return iter(self.batches)
+
+
+def _trainer():
+    loss = PretrainVaeLoss(kl_annealing_schedule(3), 0.01, num_samples=1)
+    return PretrainTrainer(TINY, loss, 1e-3)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    tr = _trainer()
+    state = tr.init_state()
+    ckpt = CheckpointManager(str(tmp_path / "ck"))
+    ckpt.save_state(state)
+    ckpt.save_meta({"epoch": 3, "best_val": 1.5, "patience": 2})
+    restored = ckpt.load_state(like=jax.tree.map(np.asarray, state))
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    meta = ckpt.load_meta()
+    assert meta["epoch"] == 3
+
+
+def test_fit_then_resume(tmp_path):
+    save_dir = str(tmp_path / "run")
+    tr = _trainer()
+    tr.fit(_Loader(), _Loader(seed=1), epochs=2, save_dir=save_dir,
+           early_stop_patience=10, save_frequency=1)
+    meta1 = CheckpointManager(save_dir).load_meta()
+    assert meta1["epoch"] == 1
+
+    # resume continues from epoch 2
+    tr2 = _trainer()
+    tr2.fit(_Loader(), _Loader(seed=1), epochs=4, save_dir=save_dir,
+            early_stop_patience=10, save_frequency=1, resume=True)
+    meta2 = CheckpointManager(save_dir).load_meta()
+    assert meta2["epoch"] == 3
+    assert os.path.exists(os.path.join(save_dir, "best"))
+
+
+def test_plateau_scheduler_reduces_lr():
+    tx = make_adam(1e-3)
+    opt = tx.init({"w": np.zeros(3, np.float32)})
+    sched = PlateauScheduler(factor=0.5, patience=1)
+    opt, _ = sched.step(1.0, opt)       # best=1.0
+    opt, r1 = sched.step(1.1, opt)      # bad 1
+    opt, r2 = sched.step(1.2, opt)      # bad 2 > patience -> reduce
+    assert not r1 and r2
+    assert abs(get_learning_rate(opt) - 5e-4) < 1e-9
+    opt = set_learning_rate(opt, 1e-4)
+    assert abs(get_learning_rate(opt) - 1e-4) < 1e-9  # fp32 storage
+
+
+def test_spec_features():
+    x = np.random.default_rng(0).standard_normal(1600).astype(np.float32)
+    lp = spec_features(x, "LogPow")
+    mg = spec_features(x, "MagSpec")
+    cx = spec_features(x, "Complex")
+    assert lp.shape == (257, 17) and mg.shape == (257, 17)
+    assert cx.shape == (257, 17, 2)
+    assert np.isfinite(lp).all()
