@@ -9,18 +9,15 @@ persisted in checkpoint meta.json rather than directory names.
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import datetime
 import os
 from typing import Optional, Tuple
-
-import numpy as np
 
 from idccrn_vae_tpu.data.loader import BatchLoader
 from idccrn_vae_tpu.data.segments import SegmentDataset, build_segment_index, find_wavs
 from idccrn_vae_tpu.data.stats import load_stats_txt
 from idccrn_vae_tpu.models.config import DccrnConfig, StftConfig
-from idccrn_vae_tpu.utils.config import IniConfig, load_ini
+from idccrn_vae_tpu.utils.config import IniConfig
 
 
 def parse_skip_to_use(s: str) -> Tuple[int, ...]:

@@ -4,7 +4,6 @@
 from __future__ import annotations
 
 import argparse
-import os
 
 from idccrn_vae_tpu.cli.common import config_from_meta, match_clean_paths
 from idccrn_vae_tpu.data.segments import find_wavs

@@ -16,9 +16,8 @@ soundfile is used transparently when importable (for flac/ogg etc.).
 from __future__ import annotations
 
 import math
-import struct
 import wave
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

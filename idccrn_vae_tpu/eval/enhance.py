@@ -23,8 +23,7 @@ Out-types for latent_num=2 (test_nsvae_se.py:139-189):
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Callable, List, Optional, Sequence, Tuple
+from typing import Callable, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -28,7 +28,7 @@ documented head effects (pinned by tests/test_streaming.py).
 
 from __future__ import annotations
 
-from typing import List, NamedTuple, Optional
+from typing import List, NamedTuple
 
 import jax
 import jax.numpy as jnp

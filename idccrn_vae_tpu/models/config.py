@@ -14,7 +14,7 @@ reproduce the *resulting* plan from an immutable config).
 from __future__ import annotations
 
 import dataclasses
-from typing import Literal, Optional, Tuple
+from typing import Literal, Tuple
 
 
 @dataclasses.dataclass(frozen=True)

@@ -7,7 +7,7 @@ decoder with skip concat -> mask|real_imag recon -> ISTFT.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -7,12 +7,10 @@ stop on patience — train.py:254-434) once, instead of four copies.
 
 from __future__ import annotations
 
-import datetime
 import time
-from typing import Callable, Dict, Iterable, Optional
+from typing import Callable, Dict, Iterable
 
 import jax
-import numpy as np
 
 
 class MetricAccumulator:

@@ -10,7 +10,6 @@ from __future__ import annotations
 
 import os
 from dataclasses import asdict
-from functools import partial
 from typing import Optional, Tuple
 
 import jax
