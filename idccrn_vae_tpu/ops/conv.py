@@ -112,15 +112,19 @@ def complex_conv2d(
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
         kernel = kernel.astype(compute_dtype)
+    # preferred_element_type=f32 with bf16 operands breaks the conv VJP
+    # (f32 cotangent vs bf16 kernel); XLA:TPU accumulates bf16 convs in
+    # f32 internally regardless, so only request f32 output for f32 in.
+    pref = jnp.float32 if x.dtype == jnp.float32 else None
     out = lax.conv_general_dilated(
         x,
         kernel,
         window_strides=tuple(stride),
         padding=pad_spec,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=pref,
     )
-    return out + bias.astype(out.dtype)
+    return (out + bias.astype(out.dtype)).astype(jnp.float32)
 
 
 def complex_conv_transpose2d(
@@ -163,6 +167,7 @@ def complex_conv_transpose2d(
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
         kernel = kernel.astype(compute_dtype)
+    pref = jnp.float32 if x.dtype == jnp.float32 else None  # see above
     out = lax.conv_general_dilated(
         x,
         kernel,
@@ -170,6 +175,6 @@ def complex_conv_transpose2d(
         padding=[pad_f, pad_t],
         lhs_dilation=(sf, st),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=pref,
     )
-    return out + bias.astype(out.dtype)
+    return (out + bias.astype(out.dtype)).astype(jnp.float32)
