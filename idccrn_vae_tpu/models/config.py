@@ -72,6 +72,10 @@ class DccrnConfig:
     # Parameters, BN statistics, STFT/ISTFT, and the latent head math
     # stay fp32; bf16 roughly doubles MXU throughput on v5e.
     compute: Literal["f32", "bf16"] = "f32"
+    # rematerialize each conv/deconv stage in the backward pass
+    # (jax.checkpoint): trades ~1 extra forward of FLOPs for dropping
+    # the stage activations from HBM — raises the trainable batch size.
+    remat: bool = False
 
     @property
     def compute_dtype(self):

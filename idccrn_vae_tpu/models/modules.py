@@ -63,13 +63,20 @@ def apply_encoder_stack(params, stats, x, cfg: DccrnConfig, train: bool,
     cdt = cfg.compute_dtype
     skips = []
     new_stats = []
-    for p, s in zip(params, stats):
+
+    def stage(p, s, x):
         x = complex_conv2d(
             x, p["conv"], cfg.stride, (cfg.freq_pad, time_pad),
             causal=cfg.causal, compute_dtype=cdt,
         )
-        x, s2 = complex_batch_norm(x, p["bn"], s, train=train, dis_mode=dis_mode)
-        x = prelu(x, p["prelu"])
+        x, s2 = complex_batch_norm(x, p["bn"], s, train=train,
+                                   dis_mode=dis_mode)
+        return prelu(x, p["prelu"]), s2
+
+    if cfg.remat:
+        stage = jax.checkpoint(stage)
+    for p, s in zip(params, stats):
+        x, s2 = stage(p, s, x)
         skips.append(x)
         new_stats.append(s2)
     return x, skips, new_stats
@@ -131,6 +138,18 @@ def apply_decoder_stack(
         use_real_skips = jax.random.bernoulli(skip_rng, 0.5)
     else:
         use_real_skips = None
+    def stage(p, s, x):
+        x = complex_conv_transpose2d(
+            x, p["conv"], cfg.stride, (cfg.freq_pad, 0), causal=cfg.causal,
+            compute_dtype=cfg.compute_dtype,
+        )
+        # Last stage keeps BN+PReLU too (if_bn=True at all reference call
+        # sites — pvae_module.py:424-437).
+        x, s2 = complex_batch_norm(x, p["bn"], s, train=train)
+        return prelu(x, p["prelu"]), s2
+
+    if cfg.remat:
+        stage = jax.checkpoint(stage)
     for i, (p, s) in enumerate(zip(params, stats)):
         if cfg.skip_mode != "none" and i in cfg.skip_to_use:
             skip = skips[n - 1 - i]
@@ -145,14 +164,7 @@ def apply_decoder_stack(
             elif use_zeros:
                 skip = jnp.zeros_like(skip)
             x = cpack_concat(x, skip)
-        x = complex_conv_transpose2d(
-            x, p["conv"], cfg.stride, (cfg.freq_pad, 0), causal=cfg.causal,
-            compute_dtype=cfg.compute_dtype,
-        )
-        # Last stage keeps BN+PReLU too (if_bn=True at all reference call
-        # sites — pvae_module.py:424-437).
-        x, s2 = complex_batch_norm(x, p["bn"], s, train=train)
-        x = prelu(x, p["prelu"])
+        x, s2 = stage(p, s, x)
         new_stats.append(s2)
     return x, new_stats
 
