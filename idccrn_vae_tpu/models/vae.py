@@ -168,6 +168,7 @@ def finish_reconstruction(out, stft_x, cfg: DccrnConfig, num_samples: int,
     out: decoder output (B*S, F, T, 2); stft_x: (B, F, T, 2).
     """
     s = cfg.stft
+    out = out.astype(jnp.float32)  # leave reduced precision at the edge
     if cfg.recon_type == "mask":
         tiled = jnp.repeat(stft_x, num_samples, axis=0)
         predict = mask_reconstruct(out, tiled)

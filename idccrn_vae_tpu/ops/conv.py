@@ -124,7 +124,9 @@ def complex_conv2d(
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=pref,
     )
-    return (out + bias.astype(out.dtype)).astype(jnp.float32)
+    # keep reduced-precision activations between stages: casting back to
+    # f32 would double the HBM traffic that dominates this pipeline.
+    return out + bias.astype(out.dtype)
 
 
 def complex_conv_transpose2d(
@@ -177,4 +179,4 @@ def complex_conv_transpose2d(
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=pref,
     )
-    return (out + bias.astype(out.dtype)).astype(jnp.float32)
+    return out + bias.astype(out.dtype)
