@@ -236,9 +236,12 @@ def run_vae_reconstruction_eval(
 
 def run_supervised_eval(model, variables, noisy_paths, clean_paths, out_dir,
                         cfg, fs: int = 16000, batch_size: int = 8,
+                        latent_diagnostics: bool = True,
                         logger=None) -> dict:
     """Supervised DCCRN eval (supervised_dccrn/test.py, WITHOUT the
-    reference's debug `idx > 5: break` truncation)."""
+    reference's debug `idx > 5: break` truncation), including the
+    bottleneck-latent covariance diagnostics the reference computes from
+    `model.latent`."""
     import jax.numpy as jnp
 
     os.makedirs(out_dir, exist_ok=True)
@@ -253,11 +256,13 @@ def run_supervised_eval(model, variables, noisy_paths, clean_paths, out_dir,
     def fn_for(length):
         if length not in fns:
             fns[length] = jax.jit(
-                lambda v, w: model.apply(v, w, train=False)[0][0])
+                lambda v, w: model.apply(v, w, train=False,
+                                         return_latent=True)[0])
         return fns[length]
 
     order = np.argsort([len(w) for w in noisy])
     results: List[Optional[np.ndarray]] = [None] * len(noisy)
+    latents = []
     i = 0
     while i < len(order):
         chunk = order[i : i + batch_size]
@@ -267,15 +272,30 @@ def run_supervised_eval(model, variables, noisy_paths, clean_paths, out_dir,
         batch = np.zeros((len(chunk), length), np.float32)
         for r, j in enumerate(chunk):
             batch[r, : len(noisy[j])] = noisy[j]
-        out = np.asarray(fn_for(length)(variables, jnp.asarray(batch)))
+        out, _pred, lat = fn_for(length)(variables, jnp.asarray(batch))
+        out = np.asarray(out)
+        lat = np.asarray(lat)
         for r, j in enumerate(chunk):
             n = min(len(noisy[j]), out.shape[1])
             results[j] = out[r, :n]
+            h = lat.shape[-1] // 2
+            latents.append(np.stack([lat[r, :, :h], lat[r, :, h:]], -1))
         i += batch_size
 
     per_utt = score_pairs(results, clean, names, fs)
     logger.info("== supervised DCCRN vs clean ==")
     summary = summarize_scores(per_utt, logger)
+    result = {"per_utterance": per_utt, "summary": summary}
+    if latent_diagnostics:
+        from idccrn_vae_tpu.eval.diagnostics import mu_covariance
+
+        diag = mu_covariance(latents)
+        logger.info("bottleneck latent cov offdiag |mean|: real %.5f "
+                    "imag %.5f", diag["offdiag_mean_abs_real"],
+                    diag["offdiag_mean_abs_imag"])
+        result["latent_diag"] = {k: v.tolist() if hasattr(v, "tolist") else v
+                                 for k, v in diag.items()
+                                 if not k.startswith("cov_")}
     with open(os.path.join(out_dir, "per_utterance.json"), "w") as f:
         json.dump(per_utt, f, indent=1)
-    return {"per_utterance": per_utt, "summary": summary}
+    return result

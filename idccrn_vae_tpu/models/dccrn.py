@@ -40,8 +40,14 @@ class SupervisedDccrn:
         stats["decoder"] = dec_stats
         return {"params": params, "stats": stats}
 
-    def apply(self, variables, wav, *, train: bool):
-        """wav (B, L) -> ((clean (B, L'), predict_spec (B, F, T, 2)), stats')."""
+    def apply(self, variables, wav, *, train: bool,
+              return_latent: bool = False):
+        """wav (B, L) -> ((clean (B, L'), predict_spec (B, F, T, 2)), stats').
+
+        return_latent additionally returns the LSTM bottleneck features
+        (B, T, 2H) — the reference's `self.latent` eval-time exposure
+        used for latent covariance analysis (pvae_module.py:186-189,
+        supervised_dccrn/test.py)."""
         cfg = self.cfg
         params, stats = variables["params"], variables["stats"]
         c, f = bottleneck_dims(cfg)
@@ -61,6 +67,8 @@ class SupervisedDccrn:
         recon_sig, predict = finish_reconstruction(
             out, stft_x, cfg, 1, self.datanorm
         )
+        if return_latent:
+            return (recon_sig, predict, lstm_out), new_stats
         return (recon_sig, predict), new_stats
 
     def stft_clean(self, wav):
