@@ -21,4 +21,13 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the suite compiles many small programs;
+# repeated runs (CI, driver checks) hit the cache instead.
+try:
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/jax_cache_idccrn_tests")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:
+    pass
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
