@@ -133,3 +133,20 @@ def test_jit_forward():
     wav = jax.random.normal(jax.random.PRNGKey(1), (B, L))
     out = fwd(v, wav)
     assert out.shape == (B, (T - 1) * 100)
+
+
+def test_forward_determinism():
+    """Same rng -> bitwise-identical forward (the reference pins seeds
+    for reproducibility; here determinism is structural)."""
+    model = SupervisedDccrn(TINY)
+    v = model.init(jax.random.PRNGKey(0))
+    wav = jax.random.normal(jax.random.PRNGKey(1), (B, L))
+    (o1, _), _ = model.apply(v, wav, train=False)
+    (o2, _), _ = model.apply(v, wav, train=False)
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+
+    enc = VaeEncoder(TINY)
+    ev = enc.init(jax.random.PRNGKey(2))
+    out1, _ = enc.apply(ev, wav, train=False, rng=jax.random.PRNGKey(3))
+    out2, _ = enc.apply(ev, wav, train=False, rng=jax.random.PRNGKey(3))
+    np.testing.assert_array_equal(np.asarray(out1.z), np.asarray(out2.z))
