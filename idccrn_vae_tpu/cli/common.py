@@ -159,6 +159,30 @@ def match_clean_paths(noisy_paths, clean_dir: str):
     return out
 
 
+def load_pretrained_variables(path: str, kind: str, cfg: DccrnConfig,
+                              which: str = "enc"):
+    """Load pretrained model variables from either our CheckpointManager
+    directory (meta.json + orbax 'best') or a reference torch .pt file
+    (state_dict converted via models/torch_import)."""
+    if path.endswith(".pt") or path.endswith(".pth"):
+        from idccrn_vae_tpu.models import torch_import as ti
+
+        sd = ti.load_state_dict(path)
+        if kind == "vae_encoder":
+            return ti.import_vae_encoder(sd, cfg)
+        if kind == "vae_decoder":
+            return ti.import_vae_decoder(sd, cfg)
+        if kind == "nsvae_encoder":
+            return ti.import_nsvae_encoder(sd, cfg)
+        if kind == "supervised":
+            return ti.import_supervised_dccrn(sd, cfg)
+        raise ValueError(f"unknown kind {kind}")
+    from idccrn_vae_tpu.train.checkpoint import CheckpointManager
+
+    best = CheckpointManager(path).load_best()
+    return best[which] if which in best else best
+
+
 def config_from_meta(meta: dict, key: str = "config") -> DccrnConfig:
     d = dict(meta[key])
     d["stft"] = StftConfig(**d["stft"])

@@ -44,12 +44,18 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     ini = load_ini(args.cfg_file)
 
-    # pretrained VAE geometry comes from its meta.json
+    # pretrained VAE geometry comes from its meta.json; reference .pt
+    # checkpoints are also accepted (torch-import path) but then the
+    # architecture flags must be passed on the command line.
     clean_dir = ini.get("User", "pre_clean_encoder")
     noise_dir = ini.get("User", "pre_noise_encoder")
-    clean_ckpt = CheckpointManager(clean_dir)
-    noise_ckpt = CheckpointManager(noise_dir)
-    pre_cfg = config_from_meta(clean_ckpt.load_meta())
+    if clean_dir.endswith((".pt", ".pth")):
+        pre_cfg = model_config(args, ini)
+        clean_ckpt = noise_ckpt = None
+    else:
+        clean_ckpt = CheckpointManager(clean_dir)
+        noise_ckpt = CheckpointManager(noise_dir)
+        pre_cfg = config_from_meta(clean_ckpt.load_meta())
 
     channel_mode = {"original": "normal", "double": "double",
                     "adapt": "adapt"}[args.nsvae_model]
@@ -75,11 +81,15 @@ def main(argv=None):
         trainable=trainable, mesh=mesh,
     )
 
+    from idccrn_vae_tpu.cli.common import load_pretrained_variables
+
     pretrained = {}
-    if clean_ckpt.has_best():
-        pretrained["clean_enc"] = clean_ckpt.load_best()["enc"]
-    if noise_ckpt.has_best():
-        pretrained["noise_enc"] = noise_ckpt.load_best()["enc"]
+    if clean_ckpt is None or clean_ckpt.has_best():
+        pretrained["clean_enc"] = load_pretrained_variables(
+            clean_dir, "vae_encoder", pre_cfg, "enc")
+    if noise_ckpt is None or noise_ckpt.has_best():
+        pretrained["noise_enc"] = load_pretrained_variables(
+            noise_dir, "vae_encoder", pre_cfg, "enc")
 
     train_loader, val_loader, n_train, n_val = loaders_from_ini(
         ini, "triplet", args.first_use_dataset)

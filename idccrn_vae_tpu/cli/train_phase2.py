@@ -68,12 +68,14 @@ def main(argv=None):
         decode_update=args.decode_update, mesh=mesh,
     )
 
+    from idccrn_vae_tpu.cli.common import load_pretrained_variables
+
     pretrained = {}
     best = nsvae_ckpt.load_best()
     pretrained["encoder"] = best["noisy_enc"]
     if args.load_de and args.pre_decoder_dir:
-        dec_ckpt = CheckpointManager(args.pre_decoder_dir)
-        pretrained["decoder"] = dec_ckpt.load_best()["dec"]
+        pretrained["decoder"] = load_pretrained_variables(
+            args.pre_decoder_dir, "vae_decoder", dec_cfg, "dec")
 
     train_loader, val_loader, n_train, n_val = loaders_from_ini(
         ini, "triplet", args.first_use_dataset)

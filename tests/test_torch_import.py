@@ -220,3 +220,63 @@ def test_import_supervised_tree_structure():
         (1, 1600)), jnp.float32) * 0.1
     (out, _), _ = model.apply(imported, wav, train=False)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_load_pretrained_variables_pt(tmp_path):
+    """CLI interop: a reference-style .pt state_dict loads through
+    load_pretrained_variables into model variables."""
+    import torch
+
+    from idccrn_vae_tpu.cli.common import load_pretrained_variables
+    from idccrn_vae_tpu.models.vae import VaeEncoder
+
+    cfg = dataclasses.replace(
+        DccrnConfig(), encoder_channels=(1, 2, 2, 4, 4, 4, 4), zdim=4,
+        skip_mode="none")
+    enc = VaeEncoder(cfg)
+    init = enc.init(jax.random.PRNGKey(0))
+    # synthesize a torch state_dict with reference naming from the init
+    sd = {}
+    p = init["params"]
+    for i, stage in enumerate(p["encoder"]):
+        pre = f"encoders.{i}"
+        sd[f"{pre}.conv.conv_re.weight"] = torch.from_numpy(
+            np.transpose(np.asarray(stage["conv"]["wr"]), (3, 2, 0, 1)).copy())
+        sd[f"{pre}.conv.conv_im.weight"] = torch.from_numpy(
+            np.transpose(np.asarray(stage["conv"]["wi"]), (3, 2, 0, 1)).copy())
+        sd[f"{pre}.conv.conv_re.bias"] = torch.from_numpy(
+            np.asarray(stage["conv"]["br"]).copy())
+        sd[f"{pre}.conv.conv_im.bias"] = torch.from_numpy(
+            np.asarray(stage["conv"]["bi"]).copy())
+        for k in ("gamma_rr", "gamma_ri", "gamma_ii", "beta_r", "beta_i"):
+            sd[f"{pre}.bn.{k}"] = torch.from_numpy(
+                np.asarray(stage["bn"][k]).copy())
+        c = len(stage["bn"]["gamma_rr"])
+        for k in ("running_mean_real", "running_mean_imag", "Vri"):
+            sd[f"{pre}.bn.{k}"] = torch.zeros(1, c, 1, 1)
+        for k in ("Vrr", "Vii"):
+            sd[f"{pre}.bn.{k}"] = torch.ones(1, c, 1, 1)
+        sd[f"{pre}.prelu.weight"] = torch.tensor([0.25])
+    for part in ("re", "im"):
+        for k in range(cfg.lstm_layers):
+            lp = p["lstm"][part][k]
+            pre = f"lstms.0.lstm_{part}"
+            sd[f"{pre}.weight_ih_l{k}"] = torch.from_numpy(
+                np.asarray(lp["w_ih"]).T.copy())
+            sd[f"{pre}.weight_hh_l{k}"] = torch.from_numpy(
+                np.asarray(lp["w_hh"]).T.copy())
+            sd[f"{pre}.bias_ih_l{k}"] = torch.from_numpy(
+                np.asarray(lp["b_ih"]).copy())
+            sd[f"{pre}.bias_hh_l{k}"] = torch.from_numpy(
+                np.asarray(lp["b_hh"]).copy())
+    path = str(tmp_path / "enc.pt")
+    torch.save(sd, path)
+    loaded = load_pretrained_variables(path, "vae_encoder", cfg)
+    np.testing.assert_allclose(
+        np.asarray(loaded["params"]["lstm"]["re"][0]["w_ih"]),
+        np.asarray(p["lstm"]["re"][0]["w_ih"]))
+    # forward runs
+    wav = jnp.asarray(np.random.default_rng(1).standard_normal((1, 1600)),
+                      jnp.float32) * 0.1
+    out, _ = enc.apply(loaded, wav, train=False, rng=jax.random.PRNGKey(2))
+    assert np.isfinite(np.asarray(out.z)).all()
