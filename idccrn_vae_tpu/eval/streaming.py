@@ -60,15 +60,22 @@ class StreamState(NamedTuple):
 
 
 class StreamingEnhancer:
-    """Real-time NSVAE-encoder + decoder enhancement, chunk by chunk."""
+    """Real-time enhancement, chunk by chunk.
+
+    model='nsvae': NSVAE noisy encoder + (pretrained/fine-tuned) decoder
+    with z = mu. model='supervised': the supervised DCCRN (pass its full
+    variables as enc_vars AND dec_vars — encoder/LSTM live under
+    enc_vars['params'], dense/decoder under dec_vars['params'])."""
 
     def __init__(self, enc_cfg: DccrnConfig, dec_cfg: DccrnConfig,
-                 enc_vars, dec_vars, chunk_frames: int = 10):
+                 enc_vars, dec_vars, chunk_frames: int = 10,
+                 model: str = "nsvae"):
         assert enc_cfg.causal and dec_cfg.causal, "streaming needs causal"
         self.enc_cfg = enc_cfg
         self.dec_cfg = dec_cfg
         self.enc_vars = enc_vars
         self.dec_vars = dec_vars
+        self.model = model
         self.n = chunk_frames
         s = enc_cfg.stft
         self.hop, self.n_fft = s.hop, s.n_fft
@@ -141,16 +148,20 @@ class StreamingEnhancer:
             x = prelu(x, p["prelu"])
             skips.append(x)
 
-        # 3. LSTM with carried state -> posterior mean latent
+        # 3. LSTM with carried state -> latent (posterior mean) or, for
+        # the supervised model, the bottleneck features directly
         seq = flatten_bottleneck(x)
         lstm_out, new_lstm_state = complex_lstm(
             seq, enc_vars["params"]["lstm"], backend="scan",
             state=state.lstm_state, return_state=True)
-        if cfg.latent == "fc":
+        if self.model == "supervised":
+            z = lstm_out
+        elif cfg.latent == "fc":
             gauss = apply_fc_head(lstm_out, enc_vars["params"]["speech_heads"])
+            z = jnp.concatenate([gauss.mu_r, gauss.mu_i], axis=-1)
         else:
             gauss = parse_sliced_head(lstm_out, cfg.zdim, offset=0)
-        z = jnp.concatenate([gauss.mu_r, gauss.mu_i], axis=-1)
+            z = jnp.concatenate([gauss.mu_r, gauss.mu_i], axis=-1)
 
         # 4. decoder with carried time columns
         c, f = bottleneck_dims(dcfg)

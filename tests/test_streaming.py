@@ -110,3 +110,23 @@ def test_stream_shapes_and_latency():
     # state advances
     assert not np.allclose(np.asarray(state2.pad_tail),
                            np.asarray(state.pad_tail))
+
+
+def test_streaming_supervised_matches_offline():
+    from idccrn_vae_tpu.models.dccrn import SupervisedDccrn
+
+    cfg = dataclasses.replace(CFG, lstm_hidden=4)
+    model = SupervisedDccrn(cfg)
+    v = model.init(jax.random.PRNGKey(5))
+    wav = _wav(3000, zero_head=True, seed=6)
+    streamer = StreamingEnhancer(cfg, cfg, v, v, chunk_frames=10,
+                                 model="supervised")
+    out_stream = streamer.stream(wav)
+    shift = (cfg.stft.n_fft - cfg.stft.hop) - cfg.stft.n_fft // 2
+    wav_shifted = np.pad(wav, ((0, 0), (shift, 0)))
+    (out_offline, _), _ = model.apply(v, jnp.asarray(wav_shifted),
+                                      train=False)
+    delay = cfg.stft.n_fft // 2
+    a = out_stream[:, delay:]
+    b = np.asarray(out_offline)[:, : a.shape[1]]
+    np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-3)
