@@ -47,6 +47,22 @@ def plot_cov_diagonals(diag: dict, path: str) -> None:
     plt.close(fig)
 
 
+def posterior_distance(v1: np.ndarray, v2: np.ndarray,
+                       is_logsigma: bool = False) -> float:
+    """RMS distance between two posterior parameter fields — the
+    reference's per-utterance mu/sigma/delta diagnostics
+    (test_nsvae_se.py:27-35, 416-418). v1/v2: (..., H, 2); log-sigma
+    inputs are exponentiated (real part) first."""
+    v1 = np.asarray(v1, np.float64)
+    v2 = np.asarray(v2, np.float64)
+    if is_logsigma:
+        v1 = np.exp(v1[..., :1])
+        v2 = np.exp(v2[..., :1])
+    axes = tuple(range(v1.ndim - 2))
+    res = np.mean((v1 - v2) ** 2, axis=axes)  # (H, 2) or (H, 1)
+    return float(np.sqrt(np.sum(res)))
+
+
 def latent_silhouette(speech_mus: Sequence[np.ndarray],
                       noise_mus: Sequence[np.ndarray],
                       max_points: int = 20000,

@@ -87,3 +87,18 @@ def test_run_supervised_eval(tmp_path):
     res = run_supervised_eval(model, v, noisy_paths, clean_paths, out_dir,
                               TINY, batch_size=2)
     assert len(res["per_utterance"]) == 3
+
+
+def test_posterior_distance():
+    from idccrn_vae_tpu.eval.diagnostics import posterior_distance
+
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((5, 4, 2))
+    assert posterior_distance(a, a) == 0.0
+    b = a + 1.0
+    d = posterior_distance(a, b)
+    # each (H,2) entry differs by exactly 1 -> sqrt(sum over 8 ones)
+    np.testing.assert_allclose(d, np.sqrt(8.0))
+    # log-sigma mode exponentiates real part only
+    d2 = posterior_distance(a, a, is_logsigma=True)
+    assert d2 == 0.0
