@@ -67,7 +67,7 @@ def main():
         return jnp.mean(out)
 
     results = []
-    for batch in (16, 32):
+    for batch in (32, 48):
         key = jax.random.PRNGKey(7)
         wav = jax.random.normal(key, (batch, n), jnp.float32) * 0.1
         float(bench_window(wav, key, 2))  # compile + warm
