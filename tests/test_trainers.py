@@ -143,3 +143,22 @@ def test_phase2_skip_layer_mask():
                            np.asarray(new["decoder"][0]["conv"]["wr"]))
     np.testing.assert_array_equal(np.asarray(old["dense"]["wr"]),
                                   np.asarray(new["dense"]["wr"]))
+
+
+def test_nsvae_unfreeze_clean_encoder():
+    """[Network] clean_encoder=True unfreezes the pretrained encoder."""
+    noisy_cfg = dataclasses.replace(TINY, latent_num=2)
+    loss = NsvaeTrueKlLoss(alpha=1.0, w_resi=0.0, w_kl=1.0, w_dismiu=0.0,
+                           cfg=noisy_cfg)
+    tr = NsvaeTrainer(TINY, noisy_cfg, loss, 1e-3,
+                      trainable={"clean_enc": True})
+    state = tr.init_state()
+    batch = (_wav(20), _wav(21), _wav(22))
+    s1, _ = tr.train_step(state, batch, jax.random.PRNGKey(0), 0)
+    c0 = jax.tree.leaves(state["models"]["clean_enc"]["params"])[0]
+    c1 = jax.tree.leaves(s1["models"]["clean_enc"]["params"])[0]
+    assert not np.allclose(np.asarray(c0), np.asarray(c1))
+    # noise encoder stays frozen
+    n0 = jax.tree.leaves(state["models"]["noise_enc"]["params"])[0]
+    n1 = jax.tree.leaves(s1["models"]["noise_enc"]["params"])[0]
+    np.testing.assert_array_equal(np.asarray(n0), np.asarray(n1))
