@@ -88,7 +88,6 @@ class Enhancer:
         latent_to_use: int = 1,
         pad_mode: str = "sig",
         bucket_frames: int = 100,
-        compute_dtype=jnp.float32,
         mesh=None,
     ):
         """mesh: optional data-parallel `Mesh` — batches shard over it so

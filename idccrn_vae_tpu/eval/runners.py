@@ -196,11 +196,10 @@ def run_vae_reconstruction_eval(
             fns[length] = fn
         return fns[length]
 
-    recons, mus = [], []
+    mus = []
     key = jax.random.PRNGKey(0)
     order = np.argsort([len(w) for w in wavs])
     results: List[Optional[np.ndarray]] = [None] * len(wavs)
-    bucket = 100 * hop
     i = 0
     while i < len(order):
         chunk = order[i : i + batch_size]

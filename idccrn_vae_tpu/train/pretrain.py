@@ -15,6 +15,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+import optax
 
 from idccrn_vae_tpu.losses.vae_loss import PretrainVaeLoss
 from idccrn_vae_tpu.models.config import DccrnConfig
@@ -113,8 +114,6 @@ class PretrainTrainer:
                 grads["enc"], state["opt_en"], params["enc"])
             up_de, opt_de = self.tx_de.update(
                 grads["dec"], state["opt_de"], params["dec"])
-            import optax
-
             new_state = {
                 "enc": {"params": optax.apply_updates(params["enc"], up_en),
                         "stats": es},
