@@ -138,53 +138,71 @@ def apply_decoder_stack(
         use_real_skips = jax.random.bernoulli(skip_rng, 0.5)
     else:
         use_real_skips = None
-    def stage(p, s, x, skip):
+    def _tconv(x, par):
+        return complex_conv_transpose2d(
+            x, par, cfg.stride, (cfg.freq_pad, 0), causal=cfg.causal,
+            compute_dtype=cfg.compute_dtype,
+        )
+
+    def _split_params(p, cx):
+        wr, wi = p["conv"]["wr"], p["conv"]["wi"]
+        par_x = {"wr": wr[:, :, :cx], "wi": wi[:, :, :cx],
+                 "br": p["conv"]["br"], "bi": p["conv"]["bi"]}
+        zb = jnp.zeros_like(p["conv"]["br"])
+        par_s = {"wr": wr[:, :, cx:], "wi": wi[:, :, cx:],
+                 "br": zb, "bi": zb}
+        return par_x, par_s
+
+    def stage(p, s, x, skip, skip_kind):
         # Skip handling: mathematically cat([x, skip]) @ W, computed as
         # x @ W[:Cx] + skip @ W[Cx:] — two summed convs avoid
-        # materializing the concatenated tensor (HBM win, measured ~7%
-        # on the dominant decoder stages).
-        if skip is not None:
-            cx = x.shape[-1] // 2
-            wr, wi = p["conv"]["wr"], p["conv"]["wi"]
-            par_x = {"wr": wr[:, :, :cx], "wi": wi[:, :, :cx],
-                     "br": p["conv"]["br"], "bi": p["conv"]["bi"]}
-            zb = jnp.zeros_like(p["conv"]["br"])
-            par_s = {"wr": wr[:, :, cx:], "wi": wi[:, :, cx:],
-                     "br": zb, "bi": zb}
-            x = complex_conv_transpose2d(
-                x, par_x, cfg.stride, (cfg.freq_pad, 0), causal=cfg.causal,
-                compute_dtype=cfg.compute_dtype,
-            ) + complex_conv_transpose2d(
-                skip, par_s, cfg.stride, (cfg.freq_pad, 0),
-                causal=cfg.causal, compute_dtype=cfg.compute_dtype,
-            )
+        # materializing the concatenated tensor (HBM win). skip_kind:
+        #   'none'   — stage has no skip channels
+        #   'zero'   — skip channels are zeros ("spadd"): their conv
+        #              contributes nothing, so it is skipped entirely
+        #   'shared' — skip is (B, …) identical across the S samples:
+        #              its conv runs ONCE at batch B and the result is
+        #              repeated (exact, saves S× of the skip-half FLOPs)
+        #   'full'   — skip already matches x's batch (prob mode)
+        cx = x.shape[-1] // 2
+        if skip_kind == "none":
+            y = _tconv(x, p["conv"])
         else:
-            x = complex_conv_transpose2d(
-                x, p["conv"], cfg.stride, (cfg.freq_pad, 0),
-                causal=cfg.causal, compute_dtype=cfg.compute_dtype,
-            )
+            par_x, par_s = _split_params(p, cx)
+            y = _tconv(x, par_x)
+            if skip_kind == "shared":
+                ys = _tconv(skip, par_s)
+                y = y + jnp.repeat(ys, num_samples, axis=0)
+            elif skip_kind == "full":
+                y = y + _tconv(skip, par_s)
+            # 'zero': nothing to add
         # Last stage keeps BN+PReLU too (if_bn=True at all reference call
         # sites — pvae_module.py:424-437).
-        x, s2 = complex_batch_norm(x, p["bn"], s, train=train)
-        return prelu(x, p["prelu"]), s2
+        y, s2 = complex_batch_norm(y, p["bn"], s, train=train)
+        return prelu(y, p["prelu"]), s2
 
     if cfg.remat:
-        stage = jax.checkpoint(stage)
+        stage = jax.checkpoint(stage, static_argnums=(4,))
     for i, (p, s) in enumerate(zip(params, stats)):
-        skip = None
+        skip, skip_kind = None, "none"
         if cfg.skip_mode != "none" and i in cfg.skip_to_use:
-            skip = skips[n - 1 - i]
-            skip = jnp.repeat(skip, num_samples, axis=0)
+            raw = skips[n - 1 - i]
             use_zeros = (
                 cfg.skip_mode == "zero"
                 or (cfg.skip_mode == "runtime" and pad_mode == "zero")
             )
             if use_real_skips is not None:
-                alt = jnp.zeros_like(skip) if cfg.skip_prob == 1 else x
-                skip = jnp.where(use_real_skips, skip, alt)
+                rep = jnp.repeat(raw, num_samples, axis=0)
+                alt = jnp.zeros_like(rep) if cfg.skip_prob == 1 else x
+                skip = jnp.where(use_real_skips, rep, alt)
+                skip_kind = "full"
             elif use_zeros:
-                skip = jnp.zeros_like(skip)
-        x, s2 = stage(p, s, x, skip)
+                skip_kind = "zero"
+            elif num_samples > 1:
+                skip, skip_kind = raw, "shared"
+            else:
+                skip, skip_kind = raw, "full"
+        x, s2 = stage(p, s, x, skip, skip_kind)
         new_stats.append(s2)
     return x, new_stats
 
