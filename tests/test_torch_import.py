@@ -280,3 +280,84 @@ def test_load_pretrained_variables_pt(tmp_path):
                       jnp.float32) * 0.1
     out, _ = enc.apply(loaded, wav, train=False, rng=jax.random.PRNGKey(2))
     assert np.isfinite(np.asarray(out.z)).all()
+
+
+def test_convert_torch_cli(tmp_path):
+    """convert_torch CLI: supervised .pt -> CheckpointManager dir that
+    test_supervised-style loading consumes."""
+    import torch
+
+    from idccrn_vae_tpu.cli.common import config_from_meta
+    from idccrn_vae_tpu.cli.convert_torch import main as convert
+    from idccrn_vae_tpu.train.checkpoint import CheckpointManager
+
+    cfg = dataclasses.replace(
+        DccrnConfig(), encoder_channels=(1, 2, 4, 8, 8, 16, 16), zdim=4,
+        lstm_hidden=4, causal=True)
+    model = SupervisedDccrn(cfg)
+    init_vars = model.init(jax.random.PRNGKey(0))
+    # reuse the synthetic state_dict builder from the tree-structure test
+    sd = {}
+    p = init_vars["params"]
+    rngi = np.random.default_rng(3)
+    for group, trans, conv_name in (("encoder", (3, 2, 0, 1), "conv"),
+                                    ("decoder", (2, 3, 0, 1), "transconv")):
+        kind = "encoders" if group == "encoder" else "decoders"
+        wkey = "conv_re" if group == "encoder" else "tconv_re"
+        wkey_i = "conv_im" if group == "encoder" else "tconv_im"
+        for i, stage in enumerate(p[group]):
+            pre = f"std_DCCRN.{kind}.{i}"
+            sd[f"{pre}.{conv_name}.{wkey}.weight"] = torch.from_numpy(
+                np.transpose(np.asarray(stage["conv"]["wr"]), trans).copy())
+            sd[f"{pre}.{conv_name}.{wkey_i}.weight"] = torch.from_numpy(
+                np.transpose(np.asarray(stage["conv"]["wi"]), trans).copy())
+            sd[f"{pre}.{conv_name}.{wkey}.bias"] = torch.from_numpy(
+                np.asarray(stage["conv"]["br"]).copy())
+            sd[f"{pre}.{conv_name}.{wkey_i}.bias"] = torch.from_numpy(
+                np.asarray(stage["conv"]["bi"]).copy())
+            for k in ("gamma_rr", "gamma_ri", "gamma_ii", "beta_r",
+                      "beta_i"):
+                sd[f"{pre}.bn.{k}"] = torch.from_numpy(
+                    np.asarray(stage["bn"][k]).copy())
+            c = len(stage["bn"]["gamma_rr"])
+            for k in ("running_mean_real", "running_mean_imag", "Vri"):
+                sd[f"{pre}.bn.{k}"] = torch.zeros(1, c, 1, 1)
+            for k in ("Vrr", "Vii"):
+                sd[f"{pre}.bn.{k}"] = torch.ones(1, c, 1, 1)
+            sd[f"{pre}.prelu.weight"] = torch.tensor([0.25])
+    for part in ("re", "im"):
+        for k in range(cfg.lstm_layers):
+            lp = p["lstm"][part][k]
+            pre = f"std_DCCRN.lstms.0.lstm_{part}"
+            sd[f"{pre}.weight_ih_l{k}"] = torch.from_numpy(
+                np.asarray(lp["w_ih"]).T.copy())
+            sd[f"{pre}.weight_hh_l{k}"] = torch.from_numpy(
+                np.asarray(lp["w_hh"]).T.copy())
+            sd[f"{pre}.bias_ih_l{k}"] = torch.from_numpy(
+                np.asarray(lp["b_ih"]).copy())
+            sd[f"{pre}.bias_hh_l{k}"] = torch.from_numpy(
+                np.asarray(lp["b_hh"]).copy())
+    sd["std_DCCRN.dense.linear_read.weight"] = torch.from_numpy(
+        np.asarray(p["dense"]["wr"]).T.copy())
+    sd["std_DCCRN.dense.linear_imag.weight"] = torch.from_numpy(
+        np.asarray(p["dense"]["wi"]).T.copy())
+    sd["std_DCCRN.dense.linear_read.bias"] = torch.from_numpy(
+        np.asarray(p["dense"]["br"]).copy())
+    sd["std_DCCRN.dense.linear_imag.bias"] = torch.from_numpy(
+        np.asarray(p["dense"]["bi"]).copy())
+    pt = str(tmp_path / "model.pt")
+    torch.save(sd, pt)
+
+    out = str(tmp_path / "converted")
+    convert(["--kind", "supervised", "--encoder", pt, "--out", out,
+             "--causal", "--zdim", "4", "--encoder_dim_start", "2",
+             "--skipc"])
+    ck = CheckpointManager(out)
+    cfg2 = config_from_meta(ck.load_meta())
+    assert cfg2.encoder_channels == cfg.encoder_channels
+    variables = ck.load_best()
+    model2 = SupervisedDccrn(cfg2)
+    wav = jnp.asarray(np.random.default_rng(4).standard_normal((1, 1600)),
+                      jnp.float32) * 0.1
+    (out_wav, _), _ = model2.apply(variables, wav, train=False)
+    assert np.isfinite(np.asarray(out_wav)).all()
