@@ -76,7 +76,13 @@ class BatchLoader:
                     bi, b = idx_q.get_nowait()
                 except queue.Empty:
                     return
-                batch = self._stack([self.dataset[int(i)] for i in b])
+                try:
+                    batch = self._stack([self.dataset[int(i)] for i in b])
+                except Exception as exc:  # propagate instead of deadlocking
+                    with lock:
+                        results[bi] = exc
+                    out_q.put(bi)
+                    return
                 with lock:
                     results[bi] = batch
                 out_q.put(bi)
@@ -96,5 +102,7 @@ class BatchLoader:
                 ready.add(out_q.get())
             with lock:
                 batch = results.pop(next_bi)
+            if isinstance(batch, Exception):
+                raise batch
             yield batch
             next_bi += 1

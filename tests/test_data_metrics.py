@@ -156,3 +156,19 @@ def test_ci_helpers():
     assert med == 2.5
     with pytest.raises(NameError):
         compute_mean(np.array([1.0, np.nan]))
+
+
+def test_batch_loader_propagates_worker_errors():
+    class Bad:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            if i == 5:
+                raise ValueError("corrupt sample")
+            return np.zeros(10, np.float32)
+
+    loader = BatchLoader(Bad(), batch_size=2, shuffle=False, num_threads=2)
+    with pytest.raises(ValueError, match="corrupt sample"):
+        for _ in loader:
+            pass
