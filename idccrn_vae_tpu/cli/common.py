@@ -142,6 +142,8 @@ def add_common_train_flags(p: argparse.ArgumentParser):
                         "4d, 8d, 8d) like net_config.py")
     p.add_argument("--n_devices", type=int, default=None,
                    help="data-parallel mesh size (default: all devices)")
+    p.add_argument("--seed", type=int, default=123,
+                   help="init/sampling seed (the reference pins 123)")
     return p
 
 

@@ -24,6 +24,10 @@ def build_parser():
     p.add_argument("--decoder_dir", type=str, default=None,
                    help="pretrained CVAE dir (phase 1) — defaults to the "
                         "decoder stored in nsvae_dir for phase 2")
+    p.add_argument("--noise_decoder_dir", type=str, default=None,
+                   help="pretrained NVAE decoder dir — enables the "
+                        "latent_num=2 out-types in phase 1 "
+                        "(test_nsvae_se.py --latent_to_use 2)")
     p.add_argument("--phase", type=int, default=1, choices=[1, 2])
     p.add_argument("--noisy_dir", type=str, required=True)
     p.add_argument("--clean_dir", type=str, required=True)
@@ -58,6 +62,9 @@ def main(argv=None):
         dec_ckpt = CheckpointManager(args.decoder_dir)
         dec_vars = dec_ckpt.load_best()["dec"]
         noise_dec_vars = None
+        if args.noise_decoder_dir:
+            noise_dec_vars = CheckpointManager(
+                args.noise_decoder_dir).load_best()["dec"]
         pad_mode = "sig" if dec_cfg.skip_mode == "real" else "zero"
     else:
         enc_cfg = config_from_meta(meta, "enc_config")

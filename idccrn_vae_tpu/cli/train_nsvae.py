@@ -78,7 +78,7 @@ def main(argv=None):
     trainer = NsvaeTrainer(
         pre_cfg, noisy_cfg, loss,
         learning_rate=float(ini.get("Training", "lr")),
-        trainable=trainable, mesh=mesh,
+        trainable=trainable, mesh=mesh, seed=args.seed,
     )
 
     from idccrn_vae_tpu.cli.common import load_pretrained_variables

@@ -61,7 +61,7 @@ def main(argv=None):
     mesh = auto_mesh(ini.getint("DataFrame", "batch_size"), args.n_devices)
     trainer = PretrainTrainer(
         cfg, loss, learning_rate=float(ini.get("Training", "lr")),
-        datanorm=datanorm, mesh=mesh,
+        datanorm=datanorm, mesh=mesh, seed=args.seed,
     )
 
     train_loader, val_loader, n_train, n_val = loaders_from_ini(
