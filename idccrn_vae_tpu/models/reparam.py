@@ -60,11 +60,16 @@ def reparameterize(
     g: CGauss,
     num_samples: int,
     guard: str = "eps",
+    noise=None,
 ) -> jnp.ndarray:
     """Draw num_samples per batch element; returns cpack (B*S, T, 2*H).
 
     Sample-major-within-batch ordering (b0s0, b0s1, …, b1s0, …) matches
     the reference's view(B*num_samples, T, H).
+
+    noise: optional explicit (eps_r, eps_i) pair, each (B, S, T, H) —
+    used by parity tests to drive this and the reference's
+    reparameterization (pvae_module.py:307-361) with identical draws.
     """
     if guard == "clamp":
         sigma = jnp.exp(jnp.clip(g.log_sigma, -13.0, 13.0))
@@ -85,9 +90,12 @@ def reparameterize(
         scale_ii = jnp.sqrt(sigma**2 - abs_delta2 + _EPS) / (denom + _EPS)
 
     b, t, h = g.mu_r.shape
-    kr, ki = jax.random.split(rng)
-    eps_r = jax.random.normal(kr, (b, num_samples, t, h), g.mu_r.dtype)
-    eps_i = jax.random.normal(ki, (b, num_samples, t, h), g.mu_r.dtype)
+    if noise is not None:
+        eps_r, eps_i = noise
+    else:
+        kr, ki = jax.random.split(rng)
+        eps_r = jax.random.normal(kr, (b, num_samples, t, h), g.mu_r.dtype)
+        eps_i = jax.random.normal(ki, (b, num_samples, t, h), g.mu_r.dtype)
 
     z_r = g.mu_r[:, None] + scale_rr[:, None] * eps_r
     z_i = g.mu_i[:, None] + scale_ir[:, None] * eps_r + scale_ii[:, None] * eps_i
