@@ -13,6 +13,13 @@ length. Here:
   * sample-averaged decoding (mean over num_samples,
     test_nsvae_se.py:352) happens on device.
 
+Padding bound (pinned by tests/test_enhance_entry.py::
+test_padded_bucket_vs_solo_equivalence): causal configs match a solo
+(unpadded) run exactly outside the STFT reflect-pad tail; non-causal
+convs look one frame ahead per stage, so padding can perturb at most
+the last ~(num_stages + (n_fft/2 + win)/hop) frames of an utterance
+(~0.1 s at reference geometry). The reference deploys causal configs.
+
 Out-types for latent_num=2 (test_nsvae_se.py:139-189):
   'clean_direct'    — sample-mean of the clean decoder output
   'real_imag_mask'  — Wiener-style per-component ratio masks
@@ -92,7 +99,32 @@ class Enhancer:
     ):
         """mesh: optional data-parallel `Mesh` — batches shard over it so
         one eval pass uses every chip (greenfield vs the reference's
-        single-GPU batch-1 loop)."""
+        single-GPU batch-1 loop).
+
+        latent_to_use mirrors test_nsvae_se.py:333-412: 1 decodes the
+        speech latent only (outtype must be 'clean_direct'); 2 requires
+        a dual-latent encoder plus a noise decoder, and outtype picks
+        the mask combination ('clean_direct' still returns the speech
+        decode — the reference runs the noise decoder then discards it,
+        which is output-identical to skipping it).
+        """
+        if latent_to_use not in (1, 2):
+            raise ValueError(f"latent_to_use must be 1 or 2, got "
+                             f"{latent_to_use}")
+        if latent_to_use == 1 and outtype != "clean_direct":
+            raise ValueError(
+                f"outtype={outtype!r} needs the noise latent: pass "
+                "latent_to_use=2 (test_nsvae_se.py:357-412)")
+        if latent_to_use == 2:
+            if enc_cfg.latent_num != 2:
+                raise ValueError(
+                    "latent_to_use=2 requires a dual-latent encoder "
+                    f"(enc_cfg.latent_num={enc_cfg.latent_num})")
+            if noise_dec_vars is None:
+                raise ValueError(
+                    "latent_to_use=2 requires noise decoder weights "
+                    "(the reference loads a noise decoder checkpoint, "
+                    "test_nsvae_se.py:640-779)")
         self.enc_cfg = enc_cfg
         self.dec_cfg = dec_cfg
         self.mesh = mesh

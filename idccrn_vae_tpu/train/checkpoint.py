@@ -39,8 +39,10 @@ def _to_jsonable(obj):
 
 class CheckpointManager:
     def __init__(self, directory: str):
-        self.directory = directory
-        os.makedirs(directory, exist_ok=True)
+        # orbax/tensorstore requires absolute paths; a relative
+        # --reload_savedir would otherwise crash on restore.
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
         import orbax.checkpoint as ocp
 
         self._ckptr = ocp.PyTreeCheckpointer()

@@ -49,22 +49,30 @@ def run_training(
     loss_key: str = "total",
     save_frequency: int = 10,
 ):
-    """Returns (state, curves dict, best_val)."""
+    """Returns (state, curves dict, best_val).
+
+    Per-step rngs derive from fold_in(rng, epoch) rather than a
+    sequentially-split stream, so a resume at epoch k draws the exact
+    noise an uninterrupted run would have drawn for epochs >= k
+    (resume fidelity, cf. the reference's torch.manual_seed pinning).
+    """
     curves: Dict[str, list] = {"train": [], "val": []}
     for epoch in range(start_epoch, epochs):
         t0 = time.time()
         acc = MetricAccumulator()
+        erng = jax.random.fold_in(rng, 2 * epoch)
         for batch in train_loader:
             bs = (batch[0] if isinstance(batch, tuple) else batch).shape[0]
-            rng, sub = jax.random.split(rng)
+            erng, sub = jax.random.split(erng)
             state, metrics = train_step(state, batch, sub, epoch)
             acc.add(metrics, bs)
         train_avg = acc.averages()
 
         vacc = MetricAccumulator()
+        vrng = jax.random.fold_in(rng, 2 * epoch + 1)
         for batch in val_loader:
             bs = (batch[0] if isinstance(batch, tuple) else batch).shape[0]
-            rng, sub = jax.random.split(rng)
+            vrng, sub = jax.random.split(vrng)
             metrics = eval_step(state, batch, sub, epoch)
             vacc.add(metrics, bs)
         val_avg = vacc.averages()

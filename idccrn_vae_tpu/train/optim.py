@@ -43,32 +43,53 @@ def set_learning_rate(opt_state, lr: float):
 
 
 class PlateauScheduler:
-    """ReduceLROnPlateau('min', factor, patience) semantics."""
+    """torch ReduceLROnPlateau('min') semantics, including the default
+    threshold=1e-4 (rel) and cooldown=0 the reference relies on — a
+    near-flat val loss within the relative threshold counts as NOT
+    improved, so torch (and now this) still decays the LR."""
 
     def __init__(self, factor: float = 0.5, patience: int = 3,
-                 min_lr: float = 0.0):
+                 min_lr: float = 0.0, threshold: float = 1e-4,
+                 threshold_mode: str = "rel", cooldown: int = 0):
         self.factor = factor
         self.patience = patience
         self.min_lr = min_lr
+        self.threshold = threshold
+        self.threshold_mode = threshold_mode
+        self.cooldown = cooldown
         self.best = float("inf")
         self.num_bad = 0
+        self.cooldown_counter = 0
+
+    def _is_better(self, a: float, best: float) -> bool:
+        if self.threshold_mode == "rel":
+            return a < best * (1.0 - self.threshold)
+        return a < best - self.threshold
 
     def step(self, metric: float, opt_state):
         """Returns (opt_state, reduced: bool)."""
-        if metric < self.best:
+        reduced = False
+        if self._is_better(metric, self.best):
             self.best = metric
             self.num_bad = 0
-            return opt_state, False
-        self.num_bad += 1
-        if self.num_bad > self.patience:
+        else:
+            self.num_bad += 1
+        if self.cooldown_counter > 0:
+            self.cooldown_counter -= 1
             self.num_bad = 0
+        if self.num_bad > self.patience:
             lr = max(self.min_lr, get_learning_rate(opt_state) * self.factor)
-            return set_learning_rate(opt_state, lr), True
-        return opt_state, False
+            opt_state = set_learning_rate(opt_state, lr)
+            self.cooldown_counter = self.cooldown
+            self.num_bad = 0
+            reduced = True
+        return opt_state, reduced
 
     def state_dict(self):
-        return {"best": self.best, "num_bad": self.num_bad}
+        return {"best": self.best, "num_bad": self.num_bad,
+                "cooldown_counter": self.cooldown_counter}
 
     def load_state_dict(self, d):
         self.best = d["best"]
         self.num_bad = d["num_bad"]
+        self.cooldown_counter = d.get("cooldown_counter", 0)

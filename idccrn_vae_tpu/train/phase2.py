@@ -283,6 +283,10 @@ class Phase2Trainer:
             best_val = float(meta["best_val"])
             patience = int(meta["patience"])
             self.sched.load_state_dict(meta["sched"])
+            # d_step phase continues where the run left off, so resumed
+            # training interleaves D updates identically to an
+            # uninterrupted run (train_second_phase_adversarial.py:302).
+            self._batch_counter = int(meta.get("batch_counter", 0))
 
         def schedulers_step(state, val_total):
             state["opt"], _ = self.sched.step(val_total, state["opt"])
@@ -304,6 +308,7 @@ class Phase2Trainer:
                 "decode_update": self.decode_update,
                 "epoch": epoch, "best_val": best, "patience": pat,
                 "sched": self.sched.state_dict(),
+                "batch_counter": self._batch_counter,
             })
             import json
 

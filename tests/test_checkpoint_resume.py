@@ -80,6 +80,81 @@ def test_plateau_scheduler_reduces_lr():
     assert abs(get_learning_rate(opt) - 1e-4) < 1e-9  # fp32 storage
 
 
+def test_plateau_scheduler_threshold_and_cooldown():
+    """torch ReduceLROnPlateau semantics: improvements within the 1e-4
+    relative threshold count as bad epochs; cooldown suppresses
+    counting after a reduction."""
+    tx = make_adam(1e-3)
+    opt = tx.init({"w": np.zeros(3, np.float32)})
+    sched = PlateauScheduler(factor=0.5, patience=1, threshold=1e-4,
+                             cooldown=1)
+    opt, _ = sched.step(1.0, opt)          # best=1.0
+    opt, r1 = sched.step(0.99995, opt)     # within rel threshold -> bad 1
+    opt, r2 = sched.step(0.99994, opt)     # bad 2 > patience -> reduce
+    assert not r1 and r2
+    assert abs(get_learning_rate(opt) - 5e-4) < 1e-9
+    # cooldown epoch: a bad step doesn't count
+    opt, r3 = sched.step(1.2, opt)
+    assert not r3 and sched.num_bad == 0
+    # after cooldown, it takes patience+1 bad steps again
+    opt, r4 = sched.step(1.2, opt)
+    opt, r5 = sched.step(1.2, opt)
+    assert not r4 and r5
+    assert abs(get_learning_rate(opt) - 2.5e-4) < 1e-9
+    # state roundtrip keeps cooldown counter
+    s2 = PlateauScheduler(0.5, 1, cooldown=1)
+    s2.load_state_dict(sched.state_dict())
+    assert s2.cooldown_counter == sched.cooldown_counter
+
+
+def _phase2_trainer(d_step=2):
+    import dataclasses as dc
+
+    from idccrn_vae_tpu.losses.phase2 import TwoPhaseLoss
+    from idccrn_vae_tpu.train.phase2 import Phase2Trainer
+
+    enc_cfg = dataclasses.replace(TINY, latent_num=1, num_samples=1)
+    dec_cfg = dc.replace(TINY, latent_num=1, num_samples=1,
+                         skip_mode="runtime", recon_type="mask")
+    loss = TwoPhaseLoss((1.0, 1.0, 0.0), alpha=1.0, latent_num=1)
+    return Phase2Trainer(enc_cfg, dec_cfg, loss, 1e-3, adversarial=True,
+                         dis_lr=1e-4, d_step=d_step)
+
+
+class _TripletLoader:
+    def __init__(self, n=2, b=2, length=1600, seed=0):
+        rng = np.random.default_rng(seed)
+        self.batches = [tuple(
+            rng.standard_normal((b, length)).astype(np.float32) * 0.1
+            for _ in range(3)) for _ in range(n)]
+
+    def __iter__(self):
+        return iter(self.batches)
+
+
+def test_phase2_resume_identical_update_sequence(tmp_path):
+    """Interrupted+resumed adversarial phase-2 == uninterrupted run:
+    the d_step batch counter, scheduler state, and per-epoch rng all
+    persist, so every D/G update lands identically."""
+    kw = dict(early_stop_patience=10, save_frequency=1)
+
+    straight = _phase2_trainer()
+    s_state, _, _ = straight.fit(_TripletLoader(), _TripletLoader(seed=1),
+                                 epochs=2, save_dir=str(tmp_path / "a"), **kw)
+
+    part1 = _phase2_trainer()
+    part1.fit(_TripletLoader(), _TripletLoader(seed=1), epochs=1,
+              save_dir=str(tmp_path / "b"), **kw)
+    part2 = _phase2_trainer()
+    r_state, _, _ = part2.fit(_TripletLoader(), _TripletLoader(seed=1),
+                              epochs=2, save_dir=str(tmp_path / "b"),
+                              resume=True, **kw)
+    assert part2._batch_counter == straight._batch_counter
+    for a, b in zip(jax.tree.leaves(s_state["models"]),
+                    jax.tree.leaves(r_state["models"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+
+
 def test_spec_features():
     x = np.random.default_rng(0).standard_normal(1600).astype(np.float32)
     lp = spec_features(x, "LogPow")

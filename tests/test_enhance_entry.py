@@ -18,7 +18,8 @@ TINY = DccrnConfig(
 )
 
 
-def _enhancer(latent_num=1, outtype="clean_direct", channel_mode="normal"):
+def _enhancer(latent_num=1, outtype="clean_direct", channel_mode="normal",
+              latent_to_use=None):
     enc_cfg = dataclasses.replace(TINY, latent_num=latent_num,
                                   channel_mode=channel_mode)
     enc = NsvaeEncoder(enc_cfg)
@@ -26,8 +27,11 @@ def _enhancer(latent_num=1, outtype="clean_direct", channel_mode="normal"):
     ev = enc.init(jax.random.PRNGKey(0))
     dv = dec.init(jax.random.PRNGKey(1))
     nv = dec.init(jax.random.PRNGKey(2)) if latent_num == 2 else None
+    if latent_to_use is None:
+        latent_to_use = latent_num
     return Enhancer(enc_cfg, TINY, ev, dv, nv, num_samples=2,
-                    outtype=outtype, bucket_frames=10)
+                    outtype=outtype, latent_to_use=latent_to_use,
+                    bucket_frames=10)
 
 
 def test_bucket_length():
@@ -59,6 +63,70 @@ def test_outtypes_latent2():
         out = e.enhance_batch(wav)
         assert out.shape[0] == 2
         assert np.isfinite(out).all()
+
+
+def test_padded_bucket_vs_solo_equivalence():
+    """Zero-padding an utterance up to a bucket length must not change
+    the valid region (eval bucketing, enhance.py). Causal configs are
+    exact up to the STFT reflect-pad tail; non-causal convs look one
+    frame ahead per stage (kernel time 2, pad 0), so the deviation is
+    confined to the last num_stages extra frames — pinned here with a
+    deterministic SupervisedDccrn forward."""
+    from idccrn_vae_tpu.models.dccrn import SupervisedDccrn
+
+    hop, win, nfft = TINY.stft.hop, TINY.stft.win_length, TINY.stft.n_fft
+    n_valid, n_pad = 4000, 8000
+    wav = np.random.default_rng(7).standard_normal(n_valid).astype(
+        np.float32) * 0.1
+    padded = np.zeros(n_pad, np.float32)
+    padded[:n_valid] = wav
+
+    # frames touching the reflect-pad/window tail differ regardless of
+    # causality; non-causal adds num_stages frames of conv lookahead.
+    stft_tail = (nfft // 2 + win) // hop + 1
+    for causal, extra in ((True, 0), (False, TINY.num_stages)):
+        cfg = dataclasses.replace(TINY, causal=causal, recon_type="mask")
+        model = SupervisedDccrn(cfg)
+        variables = model.init(jax.random.PRNGKey(0))
+        (solo, _), _ = model.apply(variables, wav[None], train=False)
+        (pad, _), _ = model.apply(variables, padded[None], train=False)
+        tail = (stft_tail + extra) * hop
+        n_cmp = n_valid - tail
+        np.testing.assert_allclose(
+            np.asarray(pad)[0, :n_cmp], np.asarray(solo)[0, :n_cmp],
+            atol=1e-5,
+            err_msg=f"causal={causal}: padded bucket changed the valid "
+                    f"region outside the {tail}-sample tail")
+
+
+def test_latent_to_use_validation():
+    """latent_to_use x outtype routing mirrors test_nsvae_se.py:333-412:
+    masks need latent 2; latent 2 needs a dual-latent encoder AND a
+    noise decoder — inconsistent combos error instead of silently
+    re-keying on outtype."""
+    import pytest
+
+    # latent 1 + mask outtype: reference has no such branch
+    with pytest.raises(ValueError, match="latent_to_use=2"):
+        _enhancer(latent_num=2, outtype="complex_mask", latent_to_use=1,
+                  channel_mode="double")
+    # latent 2 on a single-latent encoder
+    with pytest.raises(ValueError, match="dual-latent"):
+        _enhancer(latent_num=1, outtype="clean_direct", latent_to_use=2)
+    # latent 2 without noise decoder weights
+    enc_cfg = dataclasses.replace(TINY, latent_num=2)
+    enc = NsvaeEncoder(enc_cfg)
+    dec = VaeDecoder(TINY)
+    with pytest.raises(ValueError, match="noise decoder"):
+        Enhancer(enc_cfg, TINY, enc.init(jax.random.PRNGKey(0)),
+                 dec.init(jax.random.PRNGKey(1)), None,
+                 outtype="clean_direct", latent_to_use=2)
+    # valid: latent 1 clean_direct on a dual-latent encoder
+    e = _enhancer(latent_num=2, outtype="clean_direct", latent_to_use=1,
+                  channel_mode="double")
+    wav = np.random.default_rng(3).standard_normal((1, 1000)).astype(
+        np.float32) * 0.1
+    assert np.isfinite(e.enhance_batch(wav)).all()
 
 
 def test_graft_entry_compiles():
