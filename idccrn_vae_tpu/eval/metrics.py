@@ -8,10 +8,16 @@ helpers. Differences from the reference:
     et al. 2011 and Jensen & Taal 2016, same structure as the pystoi
     package the reference imports) because pystoi is not in this image.
     When pystoi IS importable we defer to it for bit-compat.
-  * PESQ-WB requires the `pesq` package (ITU-T P.862 reference code);
-    absent that, 'pesq' evaluations return 0.0 with a one-time warning —
-    the same value the reference substitutes on PESQ failure
-    (eval_metrics.py:105-110).
+  * PESQ-WB prefers the `pesq` package (ITU-T P.862 reference code)
+    when importable for bit-compat; absent that (this image) it uses
+    the native P.862.2-structured implementation in
+    eval/pesq_native.py — a real score, never a zero-fill. 0.0 is
+    substituted only when the ITU package itself raises, matching the
+    reference's failure handling (eval_metrics.py:105-110).
+  * EvalMetrics('all') returns (rmse, sisdr, pesq_wb, estoi) — the
+    reference's 6-tuple carried two always-zero legacy slots (pypesq,
+    pesq_nb) which polluted summaries with phantom 0.0 metrics; they
+    are dropped here.
 """
 
 from __future__ import annotations
@@ -188,23 +194,15 @@ def stoi(x, y, fs_sig, extended=False):
     return d / len(segs)
 
 
-_warned_pesq = False
-
-
 def pesq_wb(fs, ref, deg) -> float:
-    global _warned_pesq
-    if _pesq is None:
-        if not _warned_pesq:
-            warnings.warn(
-                "`pesq` package not installed — PESQ scores report 0.0 "
-                "(same substitution the reference makes on PESQ failure)."
-            )
-            _warned_pesq = True
-        return 0.0
-    try:
-        return float(_pesq(fs, ref, deg, mode="wb"))
-    except Exception:
-        return 0.0
+    if _pesq is not None:
+        try:
+            return float(_pesq(fs, ref, deg, mode="wb"))
+        except Exception:
+            return 0.0  # the reference's PESQ-failure substitution
+    from idccrn_vae_tpu.eval.pesq_native import pesq_wb_native
+
+    return pesq_wb_native(ref, deg, fs)
 
 
 class EvalMetrics:
@@ -238,9 +236,6 @@ class EvalMetrics:
             score_sisdr = compute_sisdr(x_est, x_ref)
             score_pesq_wb = pesq_wb(fs, x_ref, x_est)
             score_estoi = stoi(x_ref, x_est, fs, extended=True)
-            # 6-tuple with legacy pesq/pesq_nb slots zeroed, like the
-            # reference's 'all' branch (eval_metrics.py:96-120).
-            return (score_rmse, score_sisdr, 0.0, score_pesq_wb, 0.0,
-                    score_estoi)
+            return (score_rmse, score_sisdr, score_pesq_wb, score_estoi)
         raise ValueError(
             "Evaluation only supports: rmse, sisdr, pesq, stoi, estoi, all")

@@ -23,7 +23,7 @@ from idccrn_vae_tpu.data.audio_io import read_wav, resample, write_wav
 from idccrn_vae_tpu.eval.metrics import EvalMetrics, compute_mean, compute_median
 from idccrn_vae_tpu.utils.logger import get_logger
 
-METRIC_NAMES = ("rmse", "sisdr", "pesq", "pesq_wb", "pesq_nb", "estoi")
+METRIC_NAMES = ("rmse", "sisdr", "pesq", "estoi")
 
 
 def load_testset(paths: Sequence[str], fs: int = 16000) -> List[np.ndarray]:

@@ -143,9 +143,10 @@ def test_eval_metrics_all():
     x = np.sin(2 * np.pi * 250 * t) * (1 + 0.5 * np.sin(2 * np.pi * 2 * t))
     est = x + 0.1 * rng.standard_normal(len(x))
     out = EvalMetrics("all").eval(est, x, FS, "t")
-    assert len(out) == 6
-    rmse, sisdr, _p, _pwb, _pnb, estoi_s = out
+    assert len(out) == 4
+    rmse, sisdr, pesq_s, estoi_s = out
     assert rmse > 0 and sisdr > 5 and 0 < estoi_s <= 1
+    assert 1.0 <= pesq_s <= 4.644  # native PESQ-WB: a real score
 
 
 def test_ci_helpers():

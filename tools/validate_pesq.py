@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Cross-validate the native PESQ-WB / STOI / ESTOI against the ITU
+`pesq` package and `pystoi` — run this in any environment where those
+packages ARE installable (they are not in the build image):
+
+    pip install pesq pystoi
+    python tools/validate_pesq.py [wav_dir]
+
+With a wav_dir of (clean, degraded) pairs named *_clean.wav /
+*_deg.wav it scores real audio; without one it sweeps synthetic
+speech-shaped material over additive-noise SNRs and reports the
+per-condition delta and the rank correlation. The acceptance target
+from BASELINE.json is |delta PESQ| <= 0.02 on enhancement output; if
+the measured offset exceeds that, fit `a*score+b` on the sweep and
+fold it into ASYM_CAL / the mapping in eval/pesq_native.py.
+"""
+
+import sys
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+from idccrn_vae_tpu.eval.metrics import stoi as stoi_native  # noqa: E402
+from idccrn_vae_tpu.eval.pesq_native import pesq_wb_native  # noqa: E402
+
+FS = 16000
+
+
+def synthetic_pairs():
+    from scipy.signal import lfilter
+
+    for seed in range(4):
+        rng = np.random.default_rng(seed)
+        t = np.arange(3 * FS) / FS
+        bursts = rng.standard_normal(len(t)) * (
+            np.sin(2 * np.pi * 3 * t + seed) > 0)
+        sp = lfilter([1], [1, -1.6, 0.65], bursts)
+        sp = sp / np.abs(sp).max()
+        for snr in (30, 20, 10, 5, 0):
+            n = rng.standard_normal(len(t))
+            n *= np.sqrt((sp**2).mean() / (n**2).mean() / 10 ** (snr / 10))
+            yield f"seed{seed}_snr{snr}", sp, sp + n
+
+
+def wav_pairs(d):
+    import glob
+    import os
+
+    from idccrn_vae_tpu.data.audio_io import read_wav
+
+    for c in sorted(glob.glob(os.path.join(d, "*_clean.wav"))):
+        g = c.replace("_clean.wav", "_deg.wav")
+        if os.path.exists(g):
+            yield os.path.basename(c), read_wav(c)[0], read_wav(g)[0]
+
+
+def main():
+    try:
+        from pesq import pesq as itu_pesq
+    except ImportError:
+        sys.exit("install the `pesq` package to cross-validate")
+    try:
+        from pystoi import stoi as pystoi_fn
+    except ImportError:
+        pystoi_fn = None
+
+    pairs = wav_pairs(sys.argv[1]) if len(sys.argv) > 1 else synthetic_pairs()
+    ours, theirs, rows = [], [], []
+    for name, ref, deg in pairs:
+        a = pesq_wb_native(ref, deg, FS)
+        b = float(itu_pesq(FS, np.asarray(ref, np.float64),
+                           np.asarray(deg, np.float64), mode="wb"))
+        row = f"{name:>18}: native {a:.3f} itu {b:.3f} d {a - b:+.3f}"
+        if pystoi_fn is not None:
+            sn = stoi_native(ref, deg, FS, extended=True)
+            sp = float(pystoi_fn(ref, deg, FS, extended=True))
+            row += f" | estoi native {sn:.4f} pystoi {sp:.4f} d {sn - sp:+.4f}"
+        print(row)
+        ours.append(a)
+        theirs.append(b)
+        rows.append(name)
+    ours, theirs = np.asarray(ours), np.asarray(theirs)
+    rank = np.corrcoef(np.argsort(np.argsort(ours)),
+                       np.argsort(np.argsort(theirs)))[0, 1]
+    print(f"\nmean |delta| {np.abs(ours - theirs).mean():.4f}  "
+          f"max |delta| {np.abs(ours - theirs).max():.4f}  "
+          f"rank corr {rank:.4f}")
+    a, b = np.polyfit(ours, theirs, 1)
+    print(f"linear fit itu ~= {a:.4f}*native + {b:+.4f} "
+          "(fold into eval/pesq_native.py if |delta| > 0.02)")
+
+
+if __name__ == "__main__":
+    main()
