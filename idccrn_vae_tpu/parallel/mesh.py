@@ -46,13 +46,48 @@ def data_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 
 
+def _multiprocess(mesh: Mesh) -> bool:
+    """True when the mesh spans devices of more than one process."""
+    return jax.process_count() > 1 and mesh.devices.size > len(
+        [d for d in mesh.devices.flat if d.process_index == jax.process_index()]
+    )
+
+
 def shard_batch(mesh: Mesh, batch):
-    """Put (a pytree of) host batches onto the mesh, batch-dim sharded."""
+    """Put (a pytree of) host batches onto the mesh, batch-dim sharded.
+
+    Single-process: a plain device_put. Multi-process (multi-host DP,
+    SURVEY.md §5.8): each process passes its PROCESS-LOCAL slice of the
+    global batch; the pieces assemble into one global array via
+    jax.make_array_from_process_local_data — the DCN/interconnect only
+    ever carries input shards, never gradients (those ride the mesh
+    collectives inside the compiled step).
+    """
     sharding = data_sharding(mesh)
+    if _multiprocess(mesh):
+        def put(x):
+            x = np.asarray(x)
+            global_shape = (x.shape[0] * jax.process_count(),) + x.shape[1:]
+            return jax.make_array_from_process_local_data(
+                sharding, x, global_shape)
+
+        return jax.tree.map(put, batch)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 
 
 def replicate(mesh: Mesh, tree):
-    """Replicate a pytree (params/opt state) across the mesh."""
+    """Replicate a pytree (params/opt state) across the mesh.
+
+    Multi-process: every process holds identical host values (same init
+    seed / same restored checkpoint), assembled into replicated global
+    arrays via make_array_from_callback.
+    """
     sharding = NamedSharding(mesh, P())
+    if _multiprocess(mesh):
+        def put(x):
+            x = np.asarray(x)
+            return jax.make_array_from_callback(
+                x.shape, sharding, lambda idx: x[idx])
+
+        return jax.tree.map(put, tree)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)

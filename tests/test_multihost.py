@@ -1,0 +1,114 @@
+"""Multi-host data parallelism: 2 spawned processes x 4 virtual CPU
+devices each == one 8-device single-process run.
+
+Each subprocess calls jax.distributed.initialize (Gloo-backed CPU
+collectives), builds the global 'data' mesh, feeds its PROCESS-LOCAL
+quarter of the global batch through shard_batch's
+make_array_from_process_local_data path, and runs one PretrainTrainer
+step. Loss and the updated-parameter checksum must match the
+single-process run bit-for-bit-ish.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_WORKER = r"""
+import json, os, sys
+pid = int(sys.argv[1]); port = sys.argv[2]; out_path = sys.argv[3]
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+os.environ.pop("JAX_PLATFORMS", None)
+import jax
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, %(repo)r)
+from idccrn_vae_tpu.parallel import distributed as dist
+dist.initialize(coordinator_address=f"localhost:{port}",
+                num_processes=2, process_id=pid)
+assert jax.device_count() == 8 and jax.local_device_count() == 4
+import numpy as np
+from idccrn_vae_tpu.losses.vae_loss import PretrainVaeLoss, kl_annealing_schedule
+from idccrn_vae_tpu.models.config import DccrnConfig
+from idccrn_vae_tpu.train.pretrain import PretrainTrainer
+
+TINY = DccrnConfig(encoder_channels=(1, 2, 2, 4, 4, 4, 4), zdim=4,
+                   num_samples=1)
+mesh = dist.global_mesh()
+loss = PretrainVaeLoss(kl_annealing_schedule(5), 0.01, num_samples=1)
+tr = PretrainTrainer(TINY, loss, 1e-3, mesh=mesh)
+state = tr.init_state()
+wav = (np.random.default_rng(0).standard_normal((8, 1600)) * 0.3
+       ).astype(np.float32)
+local = wav[pid * 4 : (pid + 1) * 4]           # process-local shard
+s1, m = tr.train_step(state, local, jax.random.PRNGKey(0), 0)
+checksum = float(sum(abs(np.asarray(jax.device_get(x))).sum()
+                     for x in jax.tree.leaves(s1["enc"]["params"])))
+with open(out_path, "w") as f:
+    json.dump({"total": float(m["total"]), "kl": float(m["kl"]),
+               "checksum": checksum,
+               "files": dist.shard_file_list(list("abcdef"))}, f)
+""" % {"repo": REPO}
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_matches_single_process(tmp_path):
+    script = tmp_path / "worker.py"
+    script.write_text(_WORKER)
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items()}
+    env["PYTHONPATH"] = REPO
+    procs, outs = [], []
+    for pid in range(2):
+        out = str(tmp_path / f"out{pid}.json")
+        outs.append(out)
+        procs.append(subprocess.Popen(
+            [sys.executable, str(script), str(pid), str(port), out],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
+    for p in procs:
+        stdout, _ = p.communicate(timeout=540)
+        assert p.returncode == 0, stdout.decode()[-3000:]
+    r0 = json.load(open(outs[0]))
+    r1 = json.load(open(outs[1]))
+
+    # both processes observe the same global loss + identical params
+    assert r0["total"] == pytest.approx(r1["total"], rel=1e-6)
+    assert r0["checksum"] == pytest.approx(r1["checksum"], rel=1e-6)
+    # dataset sharding is a disjoint cover
+    assert sorted(r0["files"] + r1["files"]) == list("abcdef")
+    assert not set(r0["files"]) & set(r1["files"])
+
+    # equals the single-process 8-device run (same seed, same batch)
+    import jax
+
+    from idccrn_vae_tpu.losses.vae_loss import (
+        PretrainVaeLoss,
+        kl_annealing_schedule,
+    )
+    from idccrn_vae_tpu.models.config import DccrnConfig
+    from idccrn_vae_tpu.parallel.mesh import make_mesh
+    from idccrn_vae_tpu.train.pretrain import PretrainTrainer
+
+    tiny = DccrnConfig(encoder_channels=(1, 2, 2, 4, 4, 4, 4), zdim=4,
+                       num_samples=1)
+    loss = PretrainVaeLoss(kl_annealing_schedule(5), 0.01, num_samples=1)
+    tr = PretrainTrainer(tiny, loss, 1e-3, mesh=make_mesh(8))
+    wav = (np.random.default_rng(0).standard_normal((8, 1600)) * 0.3
+           ).astype(np.float32)
+    s1, m = tr.train_step(tr.init_state(), wav, jax.random.PRNGKey(0), 0)
+    checksum = float(sum(abs(np.asarray(jax.device_get(x))).sum()
+                         for x in jax.tree.leaves(s1["enc"]["params"])))
+    assert r0["total"] == pytest.approx(float(m["total"]), rel=1e-4)
+    assert r0["checksum"] == pytest.approx(checksum, rel=1e-4)
