@@ -44,10 +44,14 @@ class TwoPhaseOut(NamedTuple):
 
 class TwoPhaseLoss:
     def __init__(self, recon_loss_weight: Sequence[float], alpha: float,
-                 latent_num: int):
+                 latent_num: int, ref_mag_bug: bool = False):
+        """ref_mag_bug: reproduce the reference's target magnitude
+        computed from the real part twice (nsvae_loss.py:899) — used by
+        the torch-oracle parity tests; off by default."""
         self.weights = tuple(recon_loss_weight)
         self.alpha = float(alpha)
         self.latent_num = latent_num
+        self.ref_mag_bug = ref_mag_bug
         self.eps = 1e-10
 
     def phase_2_loss(
@@ -56,11 +60,13 @@ class TwoPhaseLoss:
         predict_noise=None, stft_noise=None, noise_wav=None, recon_noise=None,
     ) -> TwoPhaseOut:
         tot_c, cpx_c, mag_c, snr_c = multiple_recon_loss(
-            predict_clean, stft_clean, clean_wav, recon_clean, self.weights
+            predict_clean, stft_clean, clean_wav, recon_clean, self.weights,
+            ref_mag_bug=self.ref_mag_bug,
         )
         if self.latent_num == 2 and predict_noise is not None:
             tot_n, cpx_n, mag_n, snr_n = multiple_recon_loss(
-                predict_noise, stft_noise, noise_wav, recon_noise, self.weights
+                predict_noise, stft_noise, noise_wav, recon_noise,
+                self.weights, ref_mag_bug=self.ref_mag_bug,
             )
             total = tot_c + tot_n
         else:

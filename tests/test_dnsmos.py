@@ -50,3 +50,71 @@ def test_scorer_requires_onnxruntime():
         pass
     with pytest.raises((ImportError, Exception)):
         ComputeScore("missing.onnx", "missing.onnx")
+
+
+# ---------------------------------------------------------------------------
+# numeric goldens for the native librosa-equivalent melspec (VERDICT r1 #10)
+# ---------------------------------------------------------------------------
+
+
+def test_slaney_mel_scale_anchors():
+    """Exact anchor points of the slaney mel scale (librosa htk=False):
+    the linear/log break at 1000 Hz <-> 15 mel, slope 200/3 Hz per mel
+    below it, and log spacing ln(6.4)/27 above it."""
+    from idccrn_vae_tpu.eval.dnsmos import _hz_to_mel, _mel_to_hz
+
+    assert float(_hz_to_mel(1000.0)) == pytest.approx(15.0, abs=1e-12)
+    assert float(_mel_to_hz(15.0)) == pytest.approx(1000.0, abs=1e-9)
+    assert float(_hz_to_mel(200.0 / 3)) == pytest.approx(1.0, abs=1e-12)
+    assert float(_mel_to_hz(15.0 + 27.0)) == pytest.approx(6400.0, rel=1e-9)
+    # roundtrip
+    f = np.linspace(0, 8000, 101)
+    np.testing.assert_allclose(_mel_to_hz(_hz_to_mel(f)), f, atol=1e-6)
+
+
+def test_mel_filterbank_numeric_goldens():
+    """Pin the DNSMOS-geometry filterbank (sr=16k, n_fft=321, 120 mels)
+    numerically: total mass, the exact support + weights of band 60,
+    slaney area normalization, and the empty low bands that librosa
+    also produces at this (sub-bin mel spacing) geometry."""
+    from idccrn_vae_tpu.eval.dnsmos import mel_filterbank
+
+    fb = mel_filterbank(16000, 321, 120)
+    assert fb.shape == (120, 161)
+    assert float(fb.sum()) == pytest.approx(2.3899003830, abs=1e-9)
+    nz = np.nonzero(fb[60])[0]
+    np.testing.assert_array_equal(nz, [34, 35])
+    assert fb[60, 34] == pytest.approx(0.0171017313, abs=1e-9)
+    assert fb[60, 35] == pytest.approx(0.0027093462, abs=1e-9)
+    # slaney normalization: each non-empty triangle integrates to ~area
+    # bounded by 2/base * base/2 = 1 x discretization error
+    df = 8000.0 / 160
+    areas = fb.sum(axis=1) * df
+    assert areas.max() <= 2.0
+    # DNSMOS's n_fft=321 makes the first band (peak ~25 Hz) narrower
+    # than the 49.8 Hz bin grid -> band 0 is empty, as librosa warns
+    np.testing.assert_array_equal(np.nonzero(fb.sum(axis=1) == 0)[0], [0])
+
+
+def test_audio_melspec_numeric_goldens():
+    """Recorded goldens for the full melspec feature path (the P.808
+    model input): 1 s of 440 Hz + noise, seed 3."""
+    from idccrn_vae_tpu.eval.dnsmos import audio_melspec
+
+    rng = np.random.default_rng(3)
+    t = np.arange(16000) / 16000
+    sig = 0.5 * np.sin(2 * np.pi * 440 * t) + 0.1 * rng.standard_normal(
+        len(t))
+    m = audio_melspec(sig)
+    assert m.shape == (100, 120) and m.dtype == np.float32
+    # power_to_db(ref=max): the max of the normalized output is exactly
+    # (0 + 40) / 40 = 1.0
+    assert float(m.max()) == pytest.approx(1.0, abs=1e-6)
+    assert float(np.abs(m).sum()) == pytest.approx(2157.908203, rel=1e-5)
+    np.testing.assert_allclose(
+        m[0, :3], [-1.0, 0.41788393, -0.14218053], atol=1e-6)
+    np.testing.assert_allclose(
+        m[50, 40:43], [-0.01792842, 0.32763714, 0.08502478], atol=1e-6)
+    raw = audio_melspec(sig, to_db=False)
+    assert float(raw.sum()) == pytest.approx(9872.28417969, rel=1e-6)
+    assert float(raw[10, 20]) == pytest.approx(0.4651077986, rel=1e-6)
