@@ -27,6 +27,12 @@ os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
 os.environ.pop("JAX_PLATFORMS", None)
 import jax
 jax.config.update("jax_platforms", "cpu")
+try:  # share the suite's persistent compile cache (halves cold cost)
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/jax_cache_idccrn_tests")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:
+    pass
 sys.path.insert(0, %(repo)r)
 from idccrn_vae_tpu.parallel import distributed as dist
 dist.initialize(coordinator_address=f"localhost:{port}",
@@ -78,7 +84,7 @@ def test_two_process_matches_single_process(tmp_path):
             [sys.executable, str(script), str(pid), str(port), out],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
     for p in procs:
-        stdout, _ = p.communicate(timeout=540)
+        stdout, _ = p.communicate(timeout=900)
         assert p.returncode == 0, stdout.decode()[-3000:]
     r0 = json.load(open(outs[0]))
     r1 = json.load(open(outs[1]))
