@@ -143,6 +143,12 @@ def complex_conv_transpose2d(
     (complex_progress.py:222-279): causal trims the last output time
     column, expressed here as asymmetric padding (no wasted compute).
 
+    A SUB-PIXEL formulation (one dense stride-1 conv emitting both freq
+    phases as extra channels, interleaved after) exists behind
+    IDCCRN_TCONV=subpixel for the reference geometry; it loses
+    end-to-end on v5e despite winning standalone — see _use_subpixel
+    for the measured numbers. Default is XLA's lhs-dilated lowering.
+
     Args:
       x: (B, F, T, 2*Cin); params wr/wi are (kh, kw, Cin, Cout) — torch's
         transposed-conv weight (Cin, Cout, kh, kw) reindexed to HWIO; the
@@ -160,7 +166,6 @@ def complex_conv_transpose2d(
     bias = jnp.concatenate(
         [params["br"] - params["bi"], params["br"] + params["bi"]]
     )
-    pad_f = (kh - 1 - pf, kh - 1 - pf)
     if causal:
         # symmetric pad then trim last output column -> drop right pad by 1
         pad_t = (kw - 1 - pt, kw - 1 - pt - 1)
@@ -170,6 +175,11 @@ def complex_conv_transpose2d(
         x = x.astype(compute_dtype)
         kernel = kernel.astype(compute_dtype)
     pref = jnp.float32 if x.dtype == jnp.float32 else None  # see above
+
+    if (kh, sf, st, pf) == (5, 2, 1, 2) and _use_subpixel(x.shape[1]):
+        return _subpixel_tconv_f2(x, kernel, bias, pad_t, pref)
+
+    pad_f = (kh - 1 - pf, kh - 1 - pf)
     out = lax.conv_general_dilated(
         x,
         kernel,
@@ -180,3 +190,54 @@ def complex_conv_transpose2d(
         preferred_element_type=pref,
     )
     return out + bias.astype(out.dtype)
+
+
+def _use_subpixel(f_in: int) -> bool:
+    """Formulation switch for the transposed conv, A/B-instrumented via
+    IDCCRN_TCONV = 'dilated' (default) | 'subpixel', plus
+    IDCCRN_SUBPIXEL_MAXF=<f> to enable it only below a freq size.
+
+    MEASURED NEGATIVE RESULT (v5e, end-to-end bench.py at B=32 bf16 —
+    don't redo): the sub-pixel form wins 3.8x in a STANDALONE
+    per-stage harness (tools/profile_decoder.py: 141 -> 38 ms over the
+    decoder) but LOSES end-to-end: RTFx 1366 (dilated) vs 1021
+    (subpixel), 1299 (subpixel only f_in=5), 1175 (f_in<=17). The
+    standalone harness pins the conv input to an argument layout that
+    penalizes XLA's dilated lowering; inside the full program the
+    dilated conv fuses/layouts well, and the phase-interleave transpose
+    breaks producer-consumer fusion. Defaults to dilated everywhere."""
+    import os
+
+    mode = os.environ.get("IDCCRN_TCONV", "dilated")
+    if mode == "subpixel":
+        return True
+    return f_in <= int(os.environ.get("IDCCRN_SUBPIXEL_MAXF", "0"))
+
+
+def _subpixel_tconv_f2(x, kernel, bias, pad_t, pref):
+    """kh=5/sf=2/pf=2 transposed conv as one dense stride-1 conv.
+
+    In dilated coordinates (pad (2,2), flipped kernel K), output freq
+    row 2r = K[0]x[r-1] + K[2]x[r] + K[4]x[r+1] and row 2r+1 =
+    K[1]x[r] + K[3]x[r+1]: both phases are 3-tap stride-1 convs over
+    the UNdilated input, so emit them as doubled output channels and
+    interleave. Output rows: 2*F_in - 1 (the trailing phase-1 row is
+    torch's implicit-pad trim).
+    """
+    zero = jnp.zeros_like(kernel[0])
+    ph0 = jnp.stack([kernel[0], kernel[2], kernel[4]], axis=0)
+    ph1 = jnp.stack([zero, kernel[1], kernel[3]], axis=0)
+    k3 = jnp.concatenate([ph0, ph1], axis=-1)  # (3, kw, 2Ci, 2*2Co)
+    y = lax.conv_general_dilated(
+        x,
+        k3,
+        window_strides=(1, 1),
+        padding=[(1, 1), pad_t],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=pref,
+    )
+    b, f, t, c2 = y.shape
+    co = c2 // 2
+    y = y.reshape(b, f, t, 2, co)
+    y = jnp.transpose(y, (0, 1, 3, 2, 4)).reshape(b, 2 * f, t, co)
+    return y[:, : 2 * f - 1] + bias.astype(y.dtype)
