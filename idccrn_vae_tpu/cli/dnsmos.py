@@ -11,20 +11,25 @@ def build_parser():
     p.add_argument("-t", "--testset_dir", default=".")
     p.add_argument("-o", "--csv_path", default=None)
     p.add_argument("-p", "--personalized_MOS", action="store_true")
-    p.add_argument("--model_dir", default="DNSMOS",
-                   help="directory holding the DNSMOS .onnx files")
+    p.add_argument("--model_dir", default=None,
+                   help="directory holding the DNSMOS .onnx files "
+                        "(default: the bundled assets/dnsmos models)")
     return p
 
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
-    from idccrn_vae_tpu.eval.dnsmos import score_directory
+    from idccrn_vae_tpu.eval.dnsmos import (
+        default_model_paths,
+        score_directory,
+    )
 
-    if args.personalized_MOS:
-        primary = os.path.join(args.model_dir, "pDNSMOS", "sig_bak_ovr.onnx")
+    if args.model_dir is None:
+        primary, p808 = default_model_paths(args.personalized_MOS)
     else:
-        primary = os.path.join(args.model_dir, "DNSMOS", "sig_bak_ovr.onnx")
-    p808 = os.path.join(args.model_dir, "DNSMOS", "model_v8.onnx")
+        sub = "pDNSMOS" if args.personalized_MOS else "DNSMOS"
+        primary = os.path.join(args.model_dir, sub, "sig_bak_ovr.onnx")
+        p808 = os.path.join(args.model_dir, "DNSMOS", "model_v8.onnx")
     rows = score_directory(args.testset_dir, primary, p808,
                            csv_path=args.csv_path,
                            personalized=args.personalized_MOS)

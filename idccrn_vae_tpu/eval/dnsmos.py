@@ -2,9 +2,11 @@
 
 Runs the DNSMOS ONNX models (SIG/BAK/OVR primary + P.808 model) over
 9.01 s windows hopped by 1 s, with the published polynomial score
-mapping. Requires `onnxruntime` and the DNSMOS .onnx files (opaque
-binary artifacts the reference also consumes as-is); both are optional
-in this image, so everything is import-gated with clear errors.
+mapping. The .onnx files (opaque pretrained artifacts the reference
+also consumes as-is) ship under idccrn_vae_tpu/assets/dnsmos/.
+Inference uses `onnxruntime` when importable, else the native
+executor in eval/onnx_exec.py — DNSMOS works end-to-end in this image
+either way.
 
 The P.808 model's mel-spectrogram features (librosa melspectrogram,
 n_mels=120, n_fft=321, hop=160, power->dB ref=max, (x+40)/40) are
@@ -101,19 +103,32 @@ def _hann_periodic(n):
     return 0.5 * (1.0 - np.cos(2.0 * np.pi * np.arange(n) / n))
 
 
+def default_model_paths(personalized: bool = False):
+    """Paths of the bundled .onnx artifacts (assets/dnsmos/)."""
+    base = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "assets", "dnsmos")
+    sub = "pDNSMOS" if personalized else "DNSMOS"
+    return (os.path.join(base, sub, "sig_bak_ovr.onnx"),
+            os.path.join(base, "DNSMOS", "model_v8.onnx"))
+
+
 class ComputeScore:
-    """DNSMOS scorer; mirrors ComputeScore (dnsmos_local.py:22-100)."""
+    """DNSMOS scorer; mirrors ComputeScore (dnsmos_local.py:22-100).
+
+    Uses onnxruntime when importable; otherwise the native numpy ONNX
+    executor (eval/onnx_exec.py) runs the same model files."""
 
     def __init__(self, primary_model_path: str, p808_model_path: str):
         try:
             import onnxruntime as ort
-        except ImportError as e:  # pragma: no cover
-            raise ImportError(
-                "DNSMOS scoring needs the `onnxruntime` package (plus the "
-                "DNSMOS .onnx model files); install it or skip MOS scoring."
-            ) from e
-        self.onnx_sess = ort.InferenceSession(primary_model_path)
-        self.p808_onnx_sess = ort.InferenceSession(p808_model_path)
+
+            session = ort.InferenceSession
+        except ImportError:
+            from idccrn_vae_tpu.eval.onnx_exec import (
+                InferenceSession as session,
+            )
+        self.onnx_sess = session(primary_model_path)
+        self.p808_onnx_sess = session(p808_model_path)
 
     def score_array(self, audio: np.ndarray, fs: int,
                     personalized: bool = False) -> dict:

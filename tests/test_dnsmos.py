@@ -41,15 +41,67 @@ def test_polynomial_mapping_values():
             assert 1.0 < val < 5.0
 
 
-def test_scorer_requires_onnxruntime():
-    try:
-        import onnxruntime  # noqa: F401
+def test_onnx_parser_reads_dnsmos_graphs():
+    """The native ONNX executor parses the bundled model files into the
+    expected graph structure."""
+    from idccrn_vae_tpu.eval.dnsmos import default_model_paths
+    from idccrn_vae_tpu.eval.onnx_exec import parse_model
 
-        pytest.skip("onnxruntime installed; gating not exercised")
-    except ImportError:
-        pass
-    with pytest.raises((ImportError, Exception)):
-        ComputeScore("missing.onnx", "missing.onnx")
+    primary, p808 = default_model_paths(False)
+    nodes, inits, ins, outs = parse_model(primary)
+    assert ins == ["input_1"] and outs == ["Identity:0"]
+    assert len(nodes) == 48 and len(inits) == 35
+    ops = {n.op for n in nodes}
+    assert {"Conv", "MatMul", "Relu", "MaxPool", "Slice"} <= ops
+    # weights parse to real arrays
+    conv_w = [v for k, v in inits.items() if v.ndim == 4]
+    assert conv_w and all(np.isfinite(w).all() for w in conv_w)
+
+
+def test_onnx_exec_op_primitives():
+    """Unit-check the executor's Conv/MaxPool/Slice against numpy."""
+    from idccrn_vae_tpu.eval.onnx_exec import _conv, _maxpool, _slice
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((1, 2, 6, 5)).astype(np.float32)
+    w = rng.standard_normal((3, 2, 3, 3)).astype(np.float32)
+    b = rng.standard_normal(3).astype(np.float32)
+    out = _conv(x, w, b, {"pads": [1, 1, 1, 1], "strides": [2, 1]})
+    assert out.shape == (1, 3, 3, 5)
+    # reference value at one location by direct summation
+    xp = np.pad(x, [(0, 0), (0, 0), (1, 1), (1, 1)])
+    want = (xp[0, :, 2:5, 1:4] * w[1]).sum() + b[1]
+    assert out[0, 1, 1, 1] == pytest.approx(want, rel=1e-5)
+
+    mp = _maxpool(x, {"kernel_shape": [2, 2], "strides": [2, 2]})
+    assert mp.shape == (1, 2, 3, 2)
+    assert mp[0, 0, 0, 0] == x[0, 0, :2, :2].max()
+
+    sl = _slice(x, starts=[1], ends=[2**63 - 1], axes=[2], steps=[2])
+    np.testing.assert_array_equal(sl, x[:, :, 1::2])
+
+
+def test_dnsmos_end_to_end_native():
+    """Full DNSMOS scoring in THIS image (no onnxruntime): bundled
+    models through the native executor, melspec features, polynomial
+    mapping. Golden-pinned (AM tone + noise, seed 42)."""
+    from idccrn_vae_tpu.eval.dnsmos import ComputeScore, default_model_paths
+
+    rng = np.random.default_rng(42)
+    fs = 16000
+    t = np.arange(int(9.01 * fs)) / fs
+    sig = (0.4 * np.sin(2 * np.pi * 300 * t)
+           * (1 + 0.8 * np.sin(2 * np.pi * 2 * t))
+           + 0.05 * rng.standard_normal(len(t))).astype(np.float32)
+    scorer = ComputeScore(*default_model_paths(False))
+    out = scorer.score_array(sig, fs)
+    assert out["num_hops"] == 1
+    assert out["OVRL_raw"] == pytest.approx(1.612839, abs=1e-4)
+    assert out["SIG_raw"] == pytest.approx(1.693456, abs=1e-4)
+    assert out["BAK_raw"] == pytest.approx(2.387266, abs=1e-4)
+    assert out["P808_MOS"] == pytest.approx(2.182581, abs=1e-4)
+    for k in ("OVRL", "SIG", "BAK"):
+        assert 1.0 <= out[k] <= 5.0
 
 
 # ---------------------------------------------------------------------------
