@@ -20,6 +20,9 @@ def build_parser():
     p.add_argument("--out_dir", type=str, required=True)
     p.add_argument("--num_samples", type=int, default=10)
     p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--write_wavs", action="store_true",
+                   help="save the reconstructions (the reference's "
+                        "test_prevae.py --save_outfiles)")
     return p
 
 
@@ -32,7 +35,7 @@ def main(argv=None):
     run_vae_reconstruction_eval(
         enc, dec, best["enc"], best["dec"], find_wavs(args.test_dir),
         args.out_dir, cfg, num_samples=args.num_samples,
-        batch_size=args.batch_size,
+        batch_size=args.batch_size, write_wavs=args.write_wavs,
     )
 
 

@@ -23,6 +23,9 @@ def build_parser():
     p.add_argument("--clean_dir", type=str, required=True)
     p.add_argument("--out_dir", type=str, required=True)
     p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--write_wavs", action="store_true",
+                   help="save the enhanced outputs (the reference's "
+                        "supervised_dccrn/test.py --save_output)")
     return p
 
 
@@ -38,7 +41,8 @@ def main(argv=None):
     noisy_paths = find_wavs(args.noisy_dir)
     clean_paths = match_clean_paths(noisy_paths, args.clean_dir)
     run_supervised_eval(model, variables, noisy_paths, clean_paths,
-                        args.out_dir, cfg, batch_size=args.batch_size)
+                        args.out_dir, cfg, batch_size=args.batch_size,
+                        write_wavs=args.write_wavs)
 
 
 if __name__ == "__main__":

@@ -159,11 +159,14 @@ def run_vae_reconstruction_eval(
     batch_size: int = 8,
     logger=None,
     plot: bool = True,
+    write_wavs: bool = False,
 ) -> dict:
     """VAE reconstruction eval + latent diagnostics (test_prevae.py run).
 
     Reconstructs each utterance through encoder->decoder (sample-mean),
-    scores vs the original, and dumps cov(mu) diagnostics + plot.
+    scores vs the original, and dumps cov(mu) diagnostics + plot;
+    write_wavs saves the reconstructions (test_prevae.py
+    --save_outfiles).
     """
     import jax.numpy as jnp
 
@@ -228,6 +231,11 @@ def run_vae_reconstruction_eval(
         plot_cov_diagonals(diag, os.path.join(out_dir, "cov_mu_diag.png"))
     with open(os.path.join(out_dir, "per_utterance.json"), "w") as f:
         json.dump(per_utt, f, indent=1)
+    if write_wavs:
+        wav_dir = os.path.join(out_dir, "recon")
+        os.makedirs(wav_dir, exist_ok=True)
+        for name, rec in zip(names, results):
+            write_wav(os.path.join(wav_dir, name), rec, fs)
     return {"per_utterance": per_utt, "summary": summary,
             "latent_diag": {k: v for k, v in diag.items()
                             if not k.startswith("cov_")}}
@@ -236,11 +244,13 @@ def run_vae_reconstruction_eval(
 def run_supervised_eval(model, variables, noisy_paths, clean_paths, out_dir,
                         cfg, fs: int = 16000, batch_size: int = 8,
                         latent_diagnostics: bool = True,
+                        write_wavs: bool = False,
                         logger=None) -> dict:
     """Supervised DCCRN eval (supervised_dccrn/test.py, WITHOUT the
     reference's debug `idx > 5: break` truncation), including the
     bottleneck-latent covariance diagnostics the reference computes from
-    `model.latent`."""
+    `model.latent`; write_wavs saves the enhanced outputs (the
+    reference's --save_output)."""
     import jax.numpy as jnp
 
     os.makedirs(out_dir, exist_ok=True)
@@ -297,4 +307,9 @@ def run_supervised_eval(model, variables, noisy_paths, clean_paths, out_dir,
                                  if not k.startswith("cov_")}
     with open(os.path.join(out_dir, "per_utterance.json"), "w") as f:
         json.dump(per_utt, f, indent=1)
+    if write_wavs:
+        wav_dir = os.path.join(out_dir, "enhanced")
+        os.makedirs(wav_dir, exist_ok=True)
+        for name, est in zip(names, results):
+            write_wav(os.path.join(wav_dir, name), est, fs)
     return result

@@ -120,8 +120,10 @@ def test_train_vae_cli_and_meta(corpus, monkeypatch):
     out_dir = str(tmp_path / "prevae_eval")
     test_main(["--model_dir", mdir, "--test_dir", dirs["clean_val"],
                "--out_dir", out_dir, "--num_samples", "1",
-               "--batch_size", "2"])
+               "--batch_size", "2", "--write_wavs"])
     assert os.path.exists(os.path.join(out_dir, "per_utterance.json"))
+    recon = os.path.join(out_dir, "recon")
+    assert sorted(os.listdir(recon)) == sorted(os.listdir(dirs["clean_val"]))
 
 
 def test_supervised_cli(corpus, monkeypatch):
@@ -138,9 +140,11 @@ def test_supervised_cli(corpus, monkeypatch):
     out_dir = str(tmp_path / "sup_eval")
     test_main(["--model_dir", mdir, "--noisy_dir", dirs["noisy_val"],
                "--clean_dir", dirs["clean_val"], "--out_dir", out_dir,
-               "--batch_size", "2"])
+               "--batch_size", "2", "--write_wavs"])
     assert os.path.exists(os.path.join(out_dir, "summary.json")) or \
         os.path.exists(os.path.join(out_dir, "per_utterance.json"))
+    enhanced = os.path.join(out_dir, "enhanced")
+    assert sorted(os.listdir(enhanced)) == sorted(os.listdir(dirs["noisy_val"]))
 
 
 def test_cal_mean_std_cli(corpus):
