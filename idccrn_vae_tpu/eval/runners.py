@@ -57,16 +57,31 @@ def summarize_scores(per_utt: Dict[str, Dict[str, float]], logger) -> dict:
 
 
 def score_pairs(est_list, ref_list, names, fs: int = 16000,
-                metric: str = "all") -> Dict[str, Dict[str, float]]:
+                metric: str = "all",
+                workers: Optional[int] = None) -> Dict[str, Dict[str, float]]:
+    """Score (est, ref) pairs; order-stable. Scoring is host-side numpy
+    (~37 ms/utterance for 'all' incl. native PESQ) while enhancement
+    produces ~100 utt/s on device — so on multi-core hosts the pairs are
+    scored on a thread pool (EvalMetrics is stateless; the heavy numpy
+    kernels drop the GIL). workers=None -> min(8, cpu_count)."""
     ev = EvalMetrics(metric)
-    per_utt = {}
-    for est, ref, name in zip(est_list, ref_list, names):
+
+    def one(args):
+        est, ref, name = args
         out = ev.eval(est, ref, fs, name)
         if metric == "all":
-            per_utt[name] = dict(zip(METRIC_NAMES, map(float, out)))
-        else:
-            per_utt[name] = {metric: float(out)}
-    return per_utt
+            return name, dict(zip(METRIC_NAMES, map(float, out)))
+        return name, {metric: float(out)}
+
+    items = list(zip(est_list, ref_list, names))
+    if workers is None:
+        workers = min(8, os.cpu_count() or 1)
+    if workers <= 1 or len(items) <= 1:
+        return dict(map(one, items))
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(workers) as ex:
+        return dict(ex.map(one, items))
 
 
 def run_enhancement_eval(

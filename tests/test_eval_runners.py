@@ -102,3 +102,20 @@ def test_posterior_distance():
     # log-sigma mode exponentiates real part only
     d2 = posterior_distance(a, a, is_logsigma=True)
     assert d2 == 0.0
+
+
+def test_score_pairs_threaded_matches_serial():
+    from idccrn_vae_tpu.eval.runners import score_pairs
+
+    rng = np.random.default_rng(0)
+    fs = 16000
+    t = np.arange(2 * fs) / fs
+    refs = [(0.3 * np.sin(2 * np.pi * (200 + 9 * i) * t)).astype(np.float32)
+            for i in range(6)]
+    ests = [(r + 0.05 * rng.standard_normal(len(r))).astype(np.float32)
+            for r in refs]
+    names = [f"u{i}" for i in range(6)]
+    serial = score_pairs(ests, refs, names, fs, workers=1)
+    threaded = score_pairs(ests, refs, names, fs, workers=4)
+    assert serial == threaded
+    assert list(threaded) == names  # insertion order preserved
