@@ -1,0 +1,109 @@
+"""Export a trained enhancement model to a standalone serving artifact.
+
+Serializes the full serving program (STFT -> encoder -> latent ->
+decoder -> ISTFT, weights baked in) to StableHLO via jax.export,
+lowered for cpu AND tpu. The artifact runs with `jax` alone — no
+checkpoint, config, or model code (`eval/export.py::load_artifact`).
+
+Examples:
+  python -m idccrn_vae_tpu.cli.export_model \
+      --nsvae_dir ckpt/nsvae --decoder_dir ckpt/cvae --out_dir artifact/
+  python -m idccrn_vae_tpu.cli.export_model --model supervised \
+      --model_dir ckpt/dccrn --out_dir artifact/ --seconds 3
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model", type=str, default="nsvae",
+                   choices=["nsvae", "supervised"])
+    p.add_argument("--nsvae_dir", type=str, default=None)
+    p.add_argument("--decoder_dir", type=str, default=None)
+    p.add_argument("--noise_decoder_dir", type=str, default=None)
+    p.add_argument("--phase", type=int, default=1, choices=[1, 2])
+    p.add_argument("--model_dir", type=str, default=None,
+                   help="supervised DCCRN checkpoint dir")
+    p.add_argument("--out_dir", type=str, required=True)
+    p.add_argument("--seconds", type=float, default=3.0,
+                   help="utterance length the artifact is specialized to "
+                        "(batch stays symbolic)")
+    p.add_argument("--fs", type=int, default=16000)
+    p.add_argument("--num_samples", type=int, default=1)
+    p.add_argument("--latent_to_use", type=int, default=1)
+    p.add_argument("--outtype", type=str, default="clean_direct",
+                   choices=["clean_direct", "real_imag_mask", "complex_mask",
+                            "phase_mask"])
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    from idccrn_vae_tpu.cli.common import config_from_meta
+    from idccrn_vae_tpu.eval.export import (
+        export_serving,
+        save_artifact,
+        serving_fn_nsvae,
+        serving_fn_supervised,
+    )
+    from idccrn_vae_tpu.train.checkpoint import CheckpointManager
+
+    length = int(args.seconds * args.fs)
+    meta = {"model": args.model, "fs": args.fs, "length": length,
+            "seconds": args.seconds}
+
+    if args.model == "supervised":
+        if not args.model_dir:
+            raise SystemExit("--model supervised requires --model_dir")
+        from idccrn_vae_tpu.models.dccrn import SupervisedDccrn
+
+        ckpt = CheckpointManager(args.model_dir)
+        cfg = config_from_meta(ckpt.load_meta())
+        fn = serving_fn_supervised(SupervisedDccrn(cfg), ckpt.load_best())
+    else:
+        if not args.nsvae_dir:
+            raise SystemExit("--model nsvae requires --nsvae_dir")
+        from idccrn_vae_tpu.eval.enhance import Enhancer
+
+        ckpt = CheckpointManager(args.nsvae_dir)
+        cmeta = ckpt.load_meta()
+        best = ckpt.load_best()
+        if args.phase == 1:
+            if not args.decoder_dir:
+                raise SystemExit("phase 1 requires --decoder_dir")
+            enc_cfg = config_from_meta(cmeta, "noisy_config")
+            dec_cfg = config_from_meta(cmeta, "pre_config")
+            enc_vars = best["noisy_enc"]
+            dec_vars = CheckpointManager(args.decoder_dir).load_best()["dec"]
+            noise_dec_vars = None
+            if args.noise_decoder_dir:
+                noise_dec_vars = CheckpointManager(
+                    args.noise_decoder_dir).load_best()["dec"]
+            pad_mode = "sig" if dec_cfg.skip_mode == "real" else "zero"
+        else:
+            enc_cfg = config_from_meta(cmeta, "enc_config")
+            dec_cfg = config_from_meta(cmeta, "dec_config")
+            enc_vars = best["encoder"]
+            dec_vars = best["decoder"]
+            noise_dec_vars = best.get("noise_decoder")
+            pad_mode = "sig"
+        enhancer = Enhancer(enc_cfg, dec_cfg, enc_vars, dec_vars,
+                            noise_dec_vars, num_samples=args.num_samples,
+                            outtype=args.outtype,
+                            latent_to_use=args.latent_to_use,
+                            pad_mode=pad_mode)
+        fn = serving_fn_nsvae(enhancer)
+        meta.update(num_samples=args.num_samples, outtype=args.outtype,
+                    phase=args.phase)
+
+    exported = export_serving(fn, length)
+    path = save_artifact(args.out_dir, exported, meta)
+    print(json.dumps({"artifact": path, **meta}))
+
+
+if __name__ == "__main__":
+    main()

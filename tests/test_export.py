@@ -1,0 +1,137 @@
+"""AOT serving export (eval/export.py): round-trip parity with the live
+model, symbolic-batch reuse, and the CLI end to end."""
+
+import json
+import os
+
+import numpy as np
+
+import jax
+
+from idccrn_vae_tpu.models.config import DccrnConfig
+
+TINY = dict(encoder_channels=(1, 2, 2, 4, 4, 4, 4), zdim=4,
+            num_samples=1, latent_num=1, causal=True)
+LEN = 4800  # 0.3 s
+
+
+def _tiny_enhancer():
+    from idccrn_vae_tpu.eval.enhance import Enhancer
+
+    cfg = DccrnConfig(**TINY)
+    from idccrn_vae_tpu.models.nsvae import NsvaeEncoder
+    from idccrn_vae_tpu.models.vae import VaeDecoder
+
+    enc_vars = NsvaeEncoder(cfg).init(jax.random.PRNGKey(0))
+    dec_vars = VaeDecoder(cfg).init(jax.random.PRNGKey(1))
+    return Enhancer(cfg, cfg, enc_vars, dec_vars, num_samples=1,
+                    outtype="clean_direct", latent_to_use=1, pad_mode="sig")
+
+
+def test_export_round_trip_matches_live_model(tmp_path):
+    from idccrn_vae_tpu.eval.export import (
+        export_serving,
+        load_artifact,
+        save_artifact,
+        serving_fn_nsvae,
+    )
+
+    enhancer = _tiny_enhancer()
+    fn = serving_fn_nsvae(enhancer)
+    exported = export_serving(fn, LEN)
+    save_artifact(str(tmp_path), exported, {"fs": 16000, "length": LEN})
+
+    call, meta = load_artifact(str(tmp_path))
+    assert meta["length"] == LEN
+    assert "cpu" in meta["platforms"] and "tpu" in meta["platforms"]
+
+    wav = (np.random.default_rng(0)
+           .standard_normal((3, LEN)).astype(np.float32) * 0.1)
+    raw_key = np.asarray(jax.random.key_data(jax.random.PRNGKey(7)),
+                         np.uint32)
+    out_art = np.asarray(call(wav, raw_key))
+    out_live = np.asarray(fn(wav, raw_key))
+    np.testing.assert_allclose(out_art, out_live, atol=1e-6)
+
+    # symbolic batch: same artifact serves a different batch size
+    out_b1 = np.asarray(call(wav[:1], raw_key))
+    assert out_b1.shape == (1, LEN)
+    np.testing.assert_allclose(out_b1[0], out_art[0], atol=1e-5)
+
+
+def test_export_supervised_round_trip(tmp_path):
+    from idccrn_vae_tpu.eval.export import (
+        export_serving,
+        load_artifact,
+        save_artifact,
+        serving_fn_supervised,
+    )
+    from idccrn_vae_tpu.models.dccrn import SupervisedDccrn
+
+    cfg = DccrnConfig(**{**TINY, "recon_type": "mask"})
+    model = SupervisedDccrn(cfg)
+    variables = model.init(jax.random.PRNGKey(0))
+    fn = serving_fn_supervised(model, variables)
+    exported = export_serving(fn, LEN)
+    save_artifact(str(tmp_path), exported, {"fs": 16000, "length": LEN})
+    call, _meta = load_artifact(str(tmp_path))
+
+    wav = (np.random.default_rng(1)
+           .standard_normal((2, LEN)).astype(np.float32) * 0.1)
+    out_art = np.asarray(call(wav))  # raw_key optional for supervised
+    (recon, _pred), _ = model.apply(variables, wav, train=False)
+    np.testing.assert_allclose(out_art, np.asarray(recon), atol=1e-6)
+
+
+def test_export_model_cli(tmp_path, monkeypatch):
+    from tests.test_cli import TINY_FLAGS, _latest_model_dir, _write_ini
+
+    # build a minimal supervised checkpoint
+    rng = np.random.default_rng(0)
+    dirs = {}
+    from idccrn_vae_tpu.data.audio_io import write_wav
+
+    for name in ("clean_train", "clean_val", "noise_train", "noise_val",
+                 "noisy_train", "noisy_val"):
+        d = tmp_path / name
+        d.mkdir()
+        dirs[name] = str(d)
+    for i in range(3):
+        t = np.arange(4000) / 16000
+        clean = 0.3 * np.sin(2 * np.pi * (200 + 50 * i) * t)
+        noisy = clean + 0.1 * rng.standard_normal(4000)
+        for split in ("train", "val"):
+            write_wav(os.path.join(dirs[f"clean_{split}"],
+                                   f"clean_fileid_{i}.wav"),
+                      clean.astype(np.float32), 16000)
+            write_wav(os.path.join(dirs[f"noisy_{split}"],
+                                   f"noisy_fileid_{i}.wav"),
+                      noisy.astype(np.float32), 16000)
+            write_wav(os.path.join(dirs[f"noise_{split}"],
+                                   f"noise_fileid_{i}.wav"),
+                      (0.1 * rng.standard_normal(4000)).astype(np.float32),
+                      16000)
+    monkeypatch.chdir(tmp_path)
+    ini = _write_ini(tmp_path, dirs, name="exp")
+    from idccrn_vae_tpu.cli.train_supervised import main as train_main
+
+    train_main(["--cfg_file", ini, *TINY_FLAGS])
+    mdir = _latest_model_dir(tmp_path)
+
+    from idccrn_vae_tpu.cli.export_model import main as export_main
+
+    out_dir = str(tmp_path / "artifact")
+    export_main(["--model", "supervised", "--model_dir", mdir,
+                 "--out_dir", out_dir, "--seconds", "0.25"])
+    assert os.path.exists(os.path.join(out_dir, "enhance.jaxexp"))
+    with open(os.path.join(out_dir, "meta.json")) as f:
+        meta = json.load(f)
+    assert meta["length"] == 4000
+
+    from idccrn_vae_tpu.eval.export import load_artifact
+
+    call, _ = load_artifact(out_dir)
+    wav = rng.standard_normal((2, 4000)).astype(np.float32) * 0.1
+    out = np.asarray(call(wav))
+    assert out.shape == (2, 4000)
+    assert np.isfinite(out).all()
