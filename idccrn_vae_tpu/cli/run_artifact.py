@@ -1,0 +1,86 @@
+"""Serve from an exported artifact — no checkpoint or model code.
+
+Counterpart to cli/export_model.py: loads the StableHLO artifact
+written there (`eval/export.py`) and enhances a directory of wavs.
+Everything the program needs (weights included) lives in the artifact;
+this entrypoint only does wav IO, length bucketing to the artifact's
+fixed length, and batching.
+
+  python -m idccrn_vae_tpu.cli.run_artifact \
+      --artifact_dir artifact/ --in_dir noisy/ --out_dir enhanced/
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--artifact_dir", type=str, required=True)
+    p.add_argument("--in_dir", type=str, required=True)
+    p.add_argument("--out_dir", type=str, required=True)
+    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--seed", type=int, default=0,
+                   help="latent-sampling key fed to the artifact")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    from idccrn_vae_tpu.data.audio_io import read_wav, resample, write_wav
+    from idccrn_vae_tpu.data.segments import find_wavs
+    from idccrn_vae_tpu.eval.export import load_artifact
+
+    call, meta = load_artifact(args.artifact_dir)
+    length, fs = meta["length"], meta["fs"]
+    raw_key = np.asarray([0, args.seed], np.uint32)
+
+    paths = find_wavs(args.in_dir)
+    os.makedirs(args.out_dir, exist_ok=True)
+    wavs = []
+    for p in paths:
+        x, fs_x = read_wav(p)
+        if x.ndim > 1:
+            x = x[:, 0]
+        if fs_x != fs:
+            x = resample(x, fs_x, fs)
+        wavs.append(x.astype(np.float32))
+
+    t0 = time.perf_counter()
+    audio_s = 0.0
+    n_windows = 0
+    for s in range(0, len(paths), args.batch_size):
+        chunk = wavs[s : s + args.batch_size]
+        # each utterance is cut into fixed-`length` windows (the
+        # artifact is length-specialized); windows batch together
+        spans = []  # (utt_idx, start, valid)
+        for u, w in enumerate(chunk):
+            for start in range(0, max(len(w), 1), length):
+                spans.append((u, start, min(length, len(w) - start)))
+        batch = np.zeros((len(spans), length), np.float32)
+        for r, (u, start, valid) in enumerate(spans):
+            batch[r, :valid] = chunk[u][start : start + valid]
+        out = np.asarray(call(batch, raw_key))
+        n_windows += len(spans)
+        outs = [np.zeros(len(w), np.float32) for w in chunk]
+        for r, (u, start, valid) in enumerate(spans):
+            outs[u][start : start + valid] = out[r, :valid]
+        for u, w in enumerate(outs):
+            name = os.path.basename(paths[s + u])
+            write_wav(os.path.join(args.out_dir, name), w, fs)
+            audio_s += len(w) / fs
+    wall = time.perf_counter() - t0
+    print(json.dumps({"files": len(paths), "windows": n_windows,
+                      "audio_s": round(audio_s, 2),
+                      "wall_s": round(wall, 2),
+                      "rtf_x": round(audio_s / wall, 1)}))
+
+
+if __name__ == "__main__":
+    main()

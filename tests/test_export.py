@@ -135,3 +135,17 @@ def test_export_model_cli(tmp_path, monkeypatch):
     out = np.asarray(call(wav))
     assert out.shape == (2, 4000)
     assert np.isfinite(out).all()
+
+    # serve from the artifact alone (no checkpoint / model code)
+    from idccrn_vae_tpu.cli.run_artifact import main as serve_main
+
+    served = str(tmp_path / "served")
+    serve_main(["--artifact_dir", out_dir, "--in_dir", dirs["noisy_val"],
+                "--out_dir", served])
+    from idccrn_vae_tpu.data.audio_io import read_wav
+
+    for name in os.listdir(dirs["noisy_val"]):
+        enhanced, fs = read_wav(os.path.join(served, name))
+        original, _ = read_wav(os.path.join(dirs["noisy_val"], name))
+        assert fs == 16000 and len(enhanced) == len(original)
+        assert np.isfinite(enhanced).all()
