@@ -192,3 +192,43 @@ def config_from_meta(meta: dict, key: str = "config") -> DccrnConfig:
         if k in d:
             d[k] = tuple(d[k])
     return DccrnConfig(**d)
+
+
+def load_enhancement_checkpoints(nsvae_dir: str,
+                                 decoder_dir: Optional[str] = None,
+                                 noise_decoder_dir: Optional[str] = None,
+                                 phase: int = 1):
+    """Shared model-loading for every enhancement-serving entrypoint
+    (test_enhance / stream_enhance / export_model).
+
+    phase 1: NSVAE checkpoint supplies the noisy encoder; the pretrained
+    CVAE decoder comes from decoder_dir (+ optional NVAE decoder).
+    phase 2: the phase-2 checkpoint holds encoder AND fine-tuned
+    decoder(s). Returns (enc_cfg, dec_cfg, enc_vars, dec_vars,
+    noise_dec_vars, pad_mode)."""
+    from idccrn_vae_tpu.train.checkpoint import CheckpointManager
+
+    ckpt = CheckpointManager(nsvae_dir)
+    meta = ckpt.load_meta()
+    best = ckpt.load_best()
+    if phase == 1:
+        enc_cfg = config_from_meta(meta, "noisy_config")
+        dec_cfg = config_from_meta(meta, "pre_config")
+        enc_vars = best["noisy_enc"]
+        if not decoder_dir:
+            raise SystemExit("phase 1 requires --decoder_dir "
+                             "(pretrained CVAE decoder)")
+        dec_vars = CheckpointManager(decoder_dir).load_best()["dec"]
+        noise_dec_vars = None
+        if noise_decoder_dir:
+            noise_dec_vars = CheckpointManager(
+                noise_decoder_dir).load_best()["dec"]
+        pad_mode = "sig" if dec_cfg.skip_mode == "real" else "zero"
+    else:
+        enc_cfg = config_from_meta(meta, "enc_config")
+        dec_cfg = config_from_meta(meta, "dec_config")
+        enc_vars = best["encoder"]
+        dec_vars = best["decoder"]
+        noise_dec_vars = best.get("noise_decoder")
+        pad_mode = "sig"
+    return enc_cfg, dec_cfg, enc_vars, dec_vars, noise_dec_vars, pad_mode

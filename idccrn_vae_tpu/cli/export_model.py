@@ -53,8 +53,7 @@ def main(argv=None):
     from idccrn_vae_tpu.train.checkpoint import CheckpointManager
 
     length = int(args.seconds * args.fs)
-    meta = {"model": args.model, "fs": args.fs, "length": length,
-            "seconds": args.seconds}
+    meta = {"model": args.model, "fs": args.fs}
 
     if args.model == "supervised":
         if not args.model_dir:
@@ -67,38 +66,28 @@ def main(argv=None):
     else:
         if not args.nsvae_dir:
             raise SystemExit("--model nsvae requires --nsvae_dir")
+        from idccrn_vae_tpu.cli.common import load_enhancement_checkpoints
         from idccrn_vae_tpu.eval.enhance import Enhancer
 
-        ckpt = CheckpointManager(args.nsvae_dir)
-        cmeta = ckpt.load_meta()
-        best = ckpt.load_best()
-        if args.phase == 1:
-            if not args.decoder_dir:
-                raise SystemExit("phase 1 requires --decoder_dir")
-            enc_cfg = config_from_meta(cmeta, "noisy_config")
-            dec_cfg = config_from_meta(cmeta, "pre_config")
-            enc_vars = best["noisy_enc"]
-            dec_vars = CheckpointManager(args.decoder_dir).load_best()["dec"]
-            noise_dec_vars = None
-            if args.noise_decoder_dir:
-                noise_dec_vars = CheckpointManager(
-                    args.noise_decoder_dir).load_best()["dec"]
-            pad_mode = "sig" if dec_cfg.skip_mode == "real" else "zero"
-        else:
-            enc_cfg = config_from_meta(cmeta, "enc_config")
-            dec_cfg = config_from_meta(cmeta, "dec_config")
-            enc_vars = best["encoder"]
-            dec_vars = best["decoder"]
-            noise_dec_vars = best.get("noise_decoder")
-            pad_mode = "sig"
+        enc_cfg, dec_cfg, enc_vars, dec_vars, noise_dec_vars, pad_mode = \
+            load_enhancement_checkpoints(args.nsvae_dir, args.decoder_dir,
+                                         args.noise_decoder_dir, args.phase)
         enhancer = Enhancer(enc_cfg, dec_cfg, enc_vars, dec_vars,
                             noise_dec_vars, num_samples=args.num_samples,
                             outtype=args.outtype,
                             latent_to_use=args.latent_to_use,
                             pad_mode=pad_mode)
         fn = serving_fn_nsvae(enhancer)
+        cfg = enc_cfg
         meta.update(num_samples=args.num_samples, outtype=args.outtype,
                     phase=args.phase)
+
+    # the serving program emits (frames-1)*hop samples, so specialize to
+    # a hop multiple — otherwise the artifact would return fewer samples
+    # than its input width (silent tail truncation downstream)
+    hop = cfg.stft.hop
+    length = max(hop, (length // hop) * hop)
+    meta.update(length=length, seconds=length / args.fs)
 
     exported = export_serving(fn, length)
     path = save_artifact(args.out_dir, exported, meta)

@@ -33,9 +33,10 @@ def build_parser():
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
-    from idccrn_vae_tpu.data.audio_io import read_wav, resample, write_wav
+    from idccrn_vae_tpu.data.audio_io import write_wav
     from idccrn_vae_tpu.data.segments import find_wavs
     from idccrn_vae_tpu.eval.export import load_artifact
+    from idccrn_vae_tpu.eval.runners import load_testset
 
     call, meta = load_artifact(args.artifact_dir)
     length, fs = meta["length"], meta["fs"]
@@ -43,40 +44,36 @@ def main(argv=None):
 
     paths = find_wavs(args.in_dir)
     os.makedirs(args.out_dir, exist_ok=True)
-    wavs = []
-    for p in paths:
-        x, fs_x = read_wav(p)
-        if x.ndim > 1:
-            x = x[:, 0]
-        if fs_x != fs:
-            x = resample(x, fs_x, fs)
-        wavs.append(x.astype(np.float32))
+    wavs = load_testset(paths, fs)
+
+    # each utterance is cut into fixed-`length` windows (the artifact is
+    # length-specialized); windows from ALL files flatten into one span
+    # list so --batch_size bounds the device batch in WINDOWS — a single
+    # long file cannot blow past it
+    spans = []  # (utt_idx, start, valid)
+    for u, w in enumerate(wavs):
+        for start in range(0, max(len(w), 1), length):
+            spans.append((u, start, max(min(length, len(w) - start), 0)))
+    outs = [np.zeros(len(w), np.float32) for w in wavs]
 
     t0 = time.perf_counter()
-    audio_s = 0.0
-    n_windows = 0
-    for s in range(0, len(paths), args.batch_size):
-        chunk = wavs[s : s + args.batch_size]
-        # each utterance is cut into fixed-`length` windows (the
-        # artifact is length-specialized); windows batch together
-        spans = []  # (utt_idx, start, valid)
-        for u, w in enumerate(chunk):
-            for start in range(0, max(len(w), 1), length):
-                spans.append((u, start, min(length, len(w) - start)))
-        batch = np.zeros((len(spans), length), np.float32)
-        for r, (u, start, valid) in enumerate(spans):
-            batch[r, :valid] = chunk[u][start : start + valid]
+    for s in range(0, len(spans), args.batch_size):
+        group = spans[s : s + args.batch_size]
+        batch = np.zeros((len(group), length), np.float32)
+        for r, (u, start, valid) in enumerate(group):
+            batch[r, :valid] = wavs[u][start : start + valid]
         out = np.asarray(call(batch, raw_key))
-        n_windows += len(spans)
-        outs = [np.zeros(len(w), np.float32) for w in chunk]
-        for r, (u, start, valid) in enumerate(spans):
-            outs[u][start : start + valid] = out[r, :valid]
-        for u, w in enumerate(outs):
-            name = os.path.basename(paths[s + u])
-            write_wav(os.path.join(args.out_dir, name), w, fs)
-            audio_s += len(w) / fs
+        for r, (u, start, valid) in enumerate(group):
+            v = min(valid, out.shape[1])
+            outs[u][start : start + v] = out[r, :v]
     wall = time.perf_counter() - t0
-    print(json.dumps({"files": len(paths), "windows": n_windows,
+
+    audio_s = 0.0
+    for u, w in enumerate(outs):
+        write_wav(os.path.join(args.out_dir, os.path.basename(paths[u])),
+                  w, fs)
+        audio_s += len(w) / fs
+    print(json.dumps({"files": len(paths), "windows": len(spans),
                       "audio_s": round(audio_s, 2),
                       "wall_s": round(wall, 2),
                       "rtf_x": round(audio_s / wall, 1)}))

@@ -51,12 +51,16 @@ def build_parser():
 
 
 def _load_streaming_models(args):
-    from idccrn_vae_tpu.cli.common import config_from_meta
-    from idccrn_vae_tpu.train.checkpoint import CheckpointManager
+    from idccrn_vae_tpu.cli.common import (
+        config_from_meta,
+        load_enhancement_checkpoints,
+    )
 
     if args.model == "supervised":
         if not args.model_dir:
             raise SystemExit("--model supervised requires --model_dir")
+        from idccrn_vae_tpu.train.checkpoint import CheckpointManager
+
         ckpt = CheckpointManager(args.model_dir)
         cfg = config_from_meta(ckpt.load_meta())
         variables = ckpt.load_best()
@@ -64,21 +68,9 @@ def _load_streaming_models(args):
 
     if not args.nsvae_dir:
         raise SystemExit("--model nsvae requires --nsvae_dir")
-    ckpt = CheckpointManager(args.nsvae_dir)
-    meta = ckpt.load_meta()
-    best = ckpt.load_best()
-    if args.phase == 1:
-        if not args.decoder_dir:
-            raise SystemExit("phase 1 requires --decoder_dir (CVAE decoder)")
-        enc_cfg = config_from_meta(meta, "noisy_config")
-        dec_cfg = config_from_meta(meta, "pre_config")
-        enc_vars = best["noisy_enc"]
-        dec_vars = CheckpointManager(args.decoder_dir).load_best()["dec"]
-    else:
-        enc_cfg = config_from_meta(meta, "enc_config")
-        dec_cfg = config_from_meta(meta, "dec_config")
-        enc_vars = best["encoder"]
-        dec_vars = best["decoder"]
+    enc_cfg, dec_cfg, enc_vars, dec_vars, _noise, _pad = \
+        load_enhancement_checkpoints(args.nsvae_dir, args.decoder_dir,
+                                     phase=args.phase)
     return enc_cfg, dec_cfg, enc_vars, dec_vars
 
 
@@ -110,6 +102,8 @@ def main(argv=None):
     t_all = time.perf_counter()
     for path in paths:
         wav, fs = read_wav(path)
+        if wav.ndim > 1:
+            wav = wav[:, 0]
         if fs != args.fs:
             wav = resample(wav, fs, args.fs)
         n_chunks = max(1, -(-len(wav) // m))  # ceil; zero-pad the tail

@@ -10,11 +10,13 @@ import argparse
 import dataclasses
 import os
 
-from idccrn_vae_tpu.cli.common import config_from_meta, match_clean_paths
+from idccrn_vae_tpu.cli.common import (
+    load_enhancement_checkpoints,
+    match_clean_paths,
+)
 from idccrn_vae_tpu.data.segments import find_wavs
 from idccrn_vae_tpu.eval.enhance import Enhancer
 from idccrn_vae_tpu.eval.runners import run_enhancement_eval
-from idccrn_vae_tpu.train.checkpoint import CheckpointManager
 
 
 def build_parser():
@@ -51,28 +53,9 @@ def build_parser():
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
-    ckpt = CheckpointManager(args.nsvae_dir)
-    meta = ckpt.load_meta()
-    best = ckpt.load_best()
-
-    if args.phase == 1:
-        enc_cfg = config_from_meta(meta, "noisy_config")
-        dec_cfg = config_from_meta(meta, "pre_config")
-        enc_vars = best["noisy_enc"]
-        dec_ckpt = CheckpointManager(args.decoder_dir)
-        dec_vars = dec_ckpt.load_best()["dec"]
-        noise_dec_vars = None
-        if args.noise_decoder_dir:
-            noise_dec_vars = CheckpointManager(
-                args.noise_decoder_dir).load_best()["dec"]
-        pad_mode = "sig" if dec_cfg.skip_mode == "real" else "zero"
-    else:
-        enc_cfg = config_from_meta(meta, "enc_config")
-        dec_cfg = config_from_meta(meta, "dec_config")
-        enc_vars = best["encoder"]
-        dec_vars = best["decoder"]
-        noise_dec_vars = best.get("noise_decoder")
-        pad_mode = "sig"
+    enc_cfg, dec_cfg, enc_vars, dec_vars, noise_dec_vars, pad_mode = \
+        load_enhancement_checkpoints(args.nsvae_dir, args.decoder_dir,
+                                     args.noise_decoder_dir, args.phase)
 
     enc_cfg = dataclasses.replace(enc_cfg, compute=args.compute)
     dec_cfg = dataclasses.replace(dec_cfg, compute=args.compute)

@@ -121,6 +121,8 @@ def _remove_silent(x, y, dyn_range, framelen, hop):
     xf = _frames(x, framelen, hop, w)
     yf = _frames(y, framelen, hop, w)
     energies = 20 * np.log10(np.linalg.norm(xf, axis=1) + _EPS)
+    if len(energies) == 0:  # shorter than one frame
+        return np.zeros(0), np.zeros(0)
     mask = energies > np.max(energies) - dyn_range
     xf, yf = xf[mask], yf[mask]
     # overlap-add back
@@ -202,7 +204,13 @@ def pesq_wb(fs, ref, deg) -> float:
             return 0.0  # the reference's PESQ-failure substitution
     from idccrn_vae_tpu.eval.pesq_native import pesq_wb_native
 
-    return pesq_wb_native(ref, deg, fs)
+    try:
+        return pesq_wb_native(ref, deg, fs)
+    except Exception:
+        # same substitution as the package path above: one degenerate
+        # utterance (e.g. zero-length after trimming) must not abort the
+        # whole eval run (reference: utils/eval_metrics.py:105-110)
+        return 0.0
 
 
 class EvalMetrics:

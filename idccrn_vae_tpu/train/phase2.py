@@ -283,6 +283,9 @@ class Phase2Trainer:
             best_val = float(meta["best_val"])
             patience = int(meta["patience"])
             self.sched.load_state_dict(meta["sched"])
+            if self.adversarial and self.sched_dis is not None \
+                    and "sched_dis" in meta:
+                self.sched_dis.load_state_dict(meta["sched_dis"])
             # d_step phase continues where the run left off, so resumed
             # training interleaves D updates identically to an
             # uninterrupted run (train_second_phase_adversarial.py:302).
@@ -308,6 +311,9 @@ class Phase2Trainer:
                 "decode_update": self.decode_update,
                 "epoch": epoch, "best_val": best, "patience": pat,
                 "sched": self.sched.state_dict(),
+                **({"sched_dis": self.sched_dis.state_dict()}
+                   if self.adversarial and self.sched_dis is not None
+                   else {}),
                 "batch_counter": self._batch_counter,
             })
             import json
