@@ -29,9 +29,11 @@ def build_parser():
     p.add_argument("--model_dir", type=str, default=None,
                    help="supervised DCCRN checkpoint dir")
     p.add_argument("--out_dir", type=str, required=True)
-    p.add_argument("--seconds", type=float, default=3.0,
-                   help="utterance length the artifact is specialized to "
-                        "(batch stays symbolic)")
+    p.add_argument("--seconds", type=str, default="3.0",
+                   help="utterance length(s) the artifact is specialized "
+                        "to; a comma list ('1,3,10') exports one bucket "
+                        "per length and serving picks the smallest "
+                        "covering bucket (batch stays symbolic)")
     p.add_argument("--fs", type=int, default=16000)
     p.add_argument("--num_samples", type=int, default=1)
     p.add_argument("--latent_to_use", type=int, default=1)
@@ -46,13 +48,15 @@ def main(argv=None):
     from idccrn_vae_tpu.cli.common import config_from_meta
     from idccrn_vae_tpu.eval.export import (
         export_serving,
-        save_artifact,
+        save_artifacts,
         serving_fn_nsvae,
         serving_fn_supervised,
     )
     from idccrn_vae_tpu.train.checkpoint import CheckpointManager
 
-    length = int(args.seconds * args.fs)
+    seconds = [float(s) for s in args.seconds.split(",") if s.strip()]
+    if not seconds:
+        raise SystemExit("--seconds must name at least one length")
     meta = {"model": args.model, "fs": args.fs}
 
     if args.model == "supervised":
@@ -83,14 +87,15 @@ def main(argv=None):
                     phase=args.phase)
 
     # the serving program emits (frames-1)*hop samples, so specialize to
-    # a hop multiple — otherwise the artifact would return fewer samples
+    # hop multiples — otherwise an artifact would return fewer samples
     # than its input width (silent tail truncation downstream)
     hop = cfg.stft.hop
-    length = max(hop, (length // hop) * hop)
-    meta.update(length=length, seconds=length / args.fs)
+    lengths = sorted({max(hop, (int(s * args.fs) // hop) * hop)
+                      for s in seconds})
+    meta.update(length=lengths[-1], seconds=lengths[-1] / args.fs)
 
-    exported = export_serving(fn, length)
-    path = save_artifact(args.out_dir, exported, meta)
+    exports = {length: export_serving(fn, length) for length in lengths}
+    path = save_artifacts(args.out_dir, exports, meta)
     print(json.dumps({"artifact": path, **meta}))
 
 

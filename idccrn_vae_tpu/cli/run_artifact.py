@@ -54,12 +54,17 @@ def main(argv=None):
     for u, w in enumerate(wavs):
         for start in range(0, max(len(w), 1), length):
             spans.append((u, start, max(min(length, len(w) - start), 0)))
+    # group similar-length windows together so short tails batch into
+    # the smaller artifact buckets (load_artifact pads to the smallest
+    # covering bucket per call)
+    spans.sort(key=lambda s: -s[2])
     outs = [np.zeros(len(w), np.float32) for w in wavs]
 
     t0 = time.perf_counter()
     for s in range(0, len(spans), args.batch_size):
         group = spans[s : s + args.batch_size]
-        batch = np.zeros((len(group), length), np.float32)
+        width = max(1, max(v for _, _, v in group))
+        batch = np.zeros((len(group), width), np.float32)
         for r, (u, start, valid) in enumerate(group):
             batch[r, :valid] = wavs[u][start : start + valid]
         out = np.asarray(call(batch, raw_key))

@@ -96,31 +96,68 @@ def export_serving(fn, length: int, platforms=("cpu", "tpu")):
 
 
 def save_artifact(out_dir: str, exported, meta: dict) -> str:
+    """Single-bucket convenience wrapper over save_artifacts."""
+    length = int(meta["length"])
+    return save_artifacts(out_dir, {length: exported}, meta)
+
+
+def save_artifacts(out_dir: str, exports: dict, meta: dict) -> str:
+    """Write one serialized artifact per bucket length ({L: Exported})
+    plus a meta.json describing the bucket set. meta['length'] is set to
+    the LARGEST bucket (the windowing width for over-long utterances);
+    meta['artifact'] keeps the single-bucket key for compatibility."""
     os.makedirs(out_dir, exist_ok=True)
-    path = os.path.join(out_dir, ARTIFACT_NAME)
-    with open(path, "wb") as f:
-        f.write(exported.serialize())
     meta = dict(meta)
-    meta["artifact"] = ARTIFACT_NAME
+    buckets = []
+    for length in sorted(exports):
+        name = (ARTIFACT_NAME if len(exports) == 1
+                else f"enhance_{length}.jaxexp")
+        with open(os.path.join(out_dir, name), "wb") as f:
+            f.write(exports[length].serialize())
+        buckets.append({"length": int(length), "artifact": name})
+    meta["buckets"] = buckets
+    meta["length"] = buckets[-1]["length"]
+    meta["artifact"] = buckets[-1]["artifact"]
     meta["calling_convention"] = "(wav[b, length] f32, raw_key[2] u32)"
-    meta["platforms"] = list(exported.platforms)
+    meta["platforms"] = list(next(iter(exports.values())).platforms)
     with open(os.path.join(out_dir, META_NAME), "w") as f:
         json.dump(meta, f, indent=1)
-    return path
+    return os.path.join(out_dir, buckets[-1]["artifact"])
 
 
 def load_artifact(artifact_dir: str):
     """(callable, meta): callable(wav, raw_key) -> enhanced wavs.
-    Needs only jax — no model code, config, or checkpoint."""
+    Needs only jax — no model code, config, or checkpoint.
+
+    Any input length up to the largest bucket is accepted: the call
+    zero-pads to the smallest covering bucket and trims the output back
+    (exactly what the live Enhancer's length bucketing does). Longer
+    input raises — window it to meta['length'] (see cli/run_artifact)."""
     with open(os.path.join(artifact_dir, META_NAME)) as f:
         meta = json.load(f)
-    with open(os.path.join(artifact_dir, meta["artifact"]), "rb") as f:
-        exported = jexport.deserialize(f.read())
+    buckets = meta.get("buckets",
+                       [{"length": meta["length"],
+                         "artifact": meta["artifact"]}])
+    loaded = []
+    for b in buckets:
+        with open(os.path.join(artifact_dir, b["artifact"]), "rb") as f:
+            loaded.append((int(b["length"]), jexport.deserialize(f.read())))
+    loaded.sort()
+    max_len = loaded[-1][0]
 
     def call(wav, raw_key=None):
         if raw_key is None:
             raw_key = np.zeros((2,), np.uint32)
-        return exported.call(jnp.asarray(wav, jnp.float32),
-                             jnp.asarray(raw_key, jnp.uint32))
+        wav = jnp.asarray(wav, jnp.float32)
+        n = wav.shape[1]
+        if n > max_len:
+            raise ValueError(
+                f"input length {n} exceeds the largest artifact bucket "
+                f"{max_len}; window the signal (cli/run_artifact does)")
+        length, exported = next(le for le in loaded if le[0] >= n)
+        if n < length:
+            wav = jnp.pad(wav, ((0, 0), (0, length - n)))
+        out = exported.call(wav, jnp.asarray(raw_key, jnp.uint32))
+        return out[:, :n]
 
     return call, meta

@@ -120,13 +120,17 @@ def test_export_model_cli(tmp_path, monkeypatch):
 
     from idccrn_vae_tpu.cli.export_model import main as export_main
 
+    # two bucket lengths; 0.13 s also proves the hop-multiple rounding
+    # (2080 samples -> 2000)
     out_dir = str(tmp_path / "artifact")
     export_main(["--model", "supervised", "--model_dir", mdir,
-                 "--out_dir", out_dir, "--seconds", "0.25"])
-    assert os.path.exists(os.path.join(out_dir, "enhance.jaxexp"))
+                 "--out_dir", out_dir, "--seconds", "0.13,0.25"])
+    assert os.path.exists(os.path.join(out_dir, "enhance_2000.jaxexp"))
+    assert os.path.exists(os.path.join(out_dir, "enhance_4000.jaxexp"))
     with open(os.path.join(out_dir, "meta.json")) as f:
         meta = json.load(f)
     assert meta["length"] == 4000
+    assert [b["length"] for b in meta["buckets"]] == [2000, 4000]
 
     from idccrn_vae_tpu.eval.export import load_artifact
 
@@ -136,7 +140,23 @@ def test_export_model_cli(tmp_path, monkeypatch):
     assert out.shape == (2, 4000)
     assert np.isfinite(out).all()
 
-    # serve from the artifact alone (no checkpoint / model code)
+    # intermediate length: padded to the smallest covering bucket (4000)
+    # and trimmed back; short length: served by the 2000 bucket
+    out_mid = np.asarray(call(wav[:, :3000]))
+    assert out_mid.shape == (2, 3000)
+    out_short = np.asarray(call(wav[:, :1500]))
+    assert out_short.shape == (2, 1500)
+    # over-long input must be rejected (run_artifact windows it instead)
+    import pytest
+
+    with pytest.raises(ValueError, match="largest artifact bucket"):
+        call(np.zeros((1, 5000), np.float32))
+
+    # serve from the artifact alone (no checkpoint / model code);
+    # include one wav LONGER than the max bucket -> windowed 4000+4000+
+    # 1500, the 1500 tail riding the small bucket
+    write_wav(os.path.join(dirs["noisy_val"], "noisy_fileid_long.wav"),
+              (0.1 * rng.standard_normal(9500)).astype(np.float32), 16000)
     from idccrn_vae_tpu.cli.run_artifact import main as serve_main
 
     served = str(tmp_path / "served")
