@@ -40,6 +40,16 @@ def build_parser():
     p.add_argument("--outtype", type=str, default="clean_direct",
                    choices=["clean_direct", "real_imag_mask", "complex_mask",
                             "phase_mask"])
+    p.add_argument("--streaming", action="store_true",
+                   help="export the real-time chunked step (carried "
+                        "state, causal checkpoints only) instead of the "
+                        "offline program")
+    p.add_argument("--chunk_frames", type=int, default=10,
+                   help="STFT frames per streaming chunk (with "
+                        "--streaming; 10 = 62.5 ms at 16 kHz)")
+    p.add_argument("--stream_batch", type=int, default=1,
+                   help="batch size the streaming artifact is "
+                        "specialized to (with --streaming)")
     return p
 
 
@@ -66,7 +76,10 @@ def main(argv=None):
 
         ckpt = CheckpointManager(args.model_dir)
         cfg = config_from_meta(ckpt.load_meta())
-        fn = serving_fn_supervised(SupervisedDccrn(cfg), ckpt.load_best())
+        variables = ckpt.load_best()
+        enc_cfg = dec_cfg = cfg
+        enc_vars = dec_vars = variables
+        fn = serving_fn_supervised(SupervisedDccrn(cfg), variables)
     else:
         if not args.nsvae_dir:
             raise SystemExit("--model nsvae requires --nsvae_dir")
@@ -85,6 +98,35 @@ def main(argv=None):
         cfg = enc_cfg
         meta.update(num_samples=args.num_samples, outtype=args.outtype,
                     phase=args.phase)
+
+    if args.streaming:
+        from idccrn_vae_tpu.eval.export import (
+            export_streaming,
+            save_streaming_artifact,
+        )
+        from idccrn_vae_tpu.eval.streaming import StreamingEnhancer
+
+        if not (enc_cfg.causal and dec_cfg.causal):
+            raise SystemExit("--streaming requires a causal checkpoint")
+        streamer = StreamingEnhancer(enc_cfg, dec_cfg, enc_vars, dec_vars,
+                                     chunk_frames=args.chunk_frames,
+                                     model=args.model)
+        exported, state_spec = export_streaming(streamer,
+                                                batch=args.stream_batch)
+        hop, n_fft = streamer.hop, streamer.n_fft
+        meta.update(
+            streaming=True, batch=args.stream_batch,
+            chunk_frames=args.chunk_frames,
+            chunk_samples=streamer.chunk_samples,
+            algorithmic_latency_ms=round(
+                (streamer.chunk_samples + n_fft - hop) / args.fs * 1000, 2),
+        )
+        path = save_streaming_artifact(args.out_dir, exported, state_spec,
+                                       meta)
+        print(json.dumps({"artifact": path,
+                          **{k: v for k, v in meta.items()
+                             if k != "state_spec"}}))
+        return
 
     # the serving program emits (frames-1)*hop samples, so specialize to
     # hop multiples — otherwise an artifact would return fewer samples

@@ -95,6 +95,71 @@ def export_serving(fn, length: int, platforms=("cpu", "tpu")):
         wav_spec, key_spec)
 
 
+def export_streaming(streamer, batch: int = 1, platforms=("cpu", "tpu")):
+    """Export a StreamingEnhancer's chunk step as a standalone artifact.
+
+    The carried StreamState is passed as a FLAT LIST of arrays (packed/
+    unpacked inside the exported program), so the consumer needs neither
+    this package nor the NamedTuple class: the initial state is just
+    zeros of the shapes recorded in meta. Returns (exported, state_spec)
+    where state_spec = [(shape, dtype_name), ...]."""
+    state0 = streamer.init_state(batch)
+    flat, treedef = jax.tree.flatten(state0)
+
+    def step(flat_state, chunk):
+        state = jax.tree.unflatten(treedef, flat_state)
+        out, new_state = streamer._chunk_step(
+            streamer.enc_vars, streamer.dec_vars, state, chunk)
+        return out, jax.tree.flatten(new_state)[0]
+
+    specs = [jax.ShapeDtypeStruct(l.shape, l.dtype) for l in flat]
+    chunk_spec = jax.ShapeDtypeStruct((batch, streamer.chunk_samples),
+                                      jnp.float32)
+    exported = jexport.export(jax.jit(step), platforms=list(platforms))(
+        specs, chunk_spec)
+    state_spec = [(list(l.shape), np.dtype(l.dtype).name) for l in flat]
+    return exported, state_spec
+
+
+STREAM_ARTIFACT_NAME = "stream_step.jaxexp"
+
+
+def save_streaming_artifact(out_dir: str, exported, state_spec,
+                            meta: dict) -> str:
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, STREAM_ARTIFACT_NAME)
+    with open(path, "wb") as f:
+        f.write(exported.serialize())
+    meta = dict(meta)
+    meta["artifact"] = STREAM_ARTIFACT_NAME
+    meta["state_spec"] = state_spec
+    meta["calling_convention"] = (
+        "(state: [arrays per state_spec], chunk[batch, chunk_samples] "
+        "f32) -> (out[batch, chunk_samples], new_state)")
+    meta["platforms"] = list(exported.platforms)
+    with open(os.path.join(out_dir, META_NAME), "w") as f:
+        json.dump(meta, f, indent=1)
+    return path
+
+
+def load_streaming_artifact(artifact_dir: str):
+    """(step, init_state, meta): a real-time enhancement loop with jax
+    alone. state = init_state(); out, state = step(state, chunk)."""
+    with open(os.path.join(artifact_dir, META_NAME)) as f:
+        meta = json.load(f)
+    with open(os.path.join(artifact_dir, meta["artifact"]), "rb") as f:
+        exported = jexport.deserialize(f.read())
+
+    def init_state():
+        return [np.zeros(shape, dtype) for shape, dtype in
+                meta["state_spec"]]
+
+    def step(state, chunk):
+        return exported.call(state, jnp.asarray(chunk, jnp.float32))
+
+    return step, init_state, meta
+
+
 def save_artifact(out_dir: str, exported, meta: dict) -> str:
     """Single-bucket convenience wrapper over save_artifacts."""
     length = int(meta["length"])

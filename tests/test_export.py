@@ -83,6 +83,39 @@ def test_export_supervised_round_trip(tmp_path):
     np.testing.assert_allclose(out_art, np.asarray(recon), atol=1e-6)
 
 
+def test_streaming_export_round_trip(tmp_path):
+    from idccrn_vae_tpu.eval.export import (
+        export_streaming,
+        load_streaming_artifact,
+        save_streaming_artifact,
+    )
+    from idccrn_vae_tpu.eval.streaming import StreamingEnhancer
+
+    enhancer = _tiny_enhancer()
+    streamer = StreamingEnhancer(enhancer.enc_cfg, enhancer.dec_cfg,
+                                 enhancer.enc_vars, enhancer.dec_vars,
+                                 chunk_frames=8)
+    exported, spec = export_streaming(streamer, batch=1)
+    save_streaming_artifact(str(tmp_path), exported, spec,
+                            {"fs": 16000,
+                             "chunk_samples": streamer.chunk_samples})
+
+    step, init_state, meta = load_streaming_artifact(str(tmp_path))
+    m = meta["chunk_samples"]
+    assert m == streamer.chunk_samples
+
+    wav = (np.random.default_rng(0)
+           .standard_normal((1, 4 * m)).astype(np.float32) * 0.1)
+    ref = streamer.stream(wav)
+    state = init_state()
+    outs = []
+    for k in range(4):
+        out, state = step(state, wav[:, k * m : (k + 1) * m])
+        outs.append(np.asarray(out))
+    got = np.concatenate(outs, axis=1)
+    np.testing.assert_array_equal(got, ref)  # bit-exact
+
+
 def test_export_model_cli(tmp_path, monkeypatch):
     from tests.test_cli import TINY_FLAGS, _latest_model_dir, _write_ini
 
@@ -151,6 +184,19 @@ def test_export_model_cli(tmp_path, monkeypatch):
 
     with pytest.raises(ValueError, match="largest artifact bucket"):
         call(np.zeros((1, 5000), np.float32))
+
+    # streaming artifact via the CLI (supervised is causal here)
+    stream_dir = str(tmp_path / "stream_artifact")
+    export_main(["--model", "supervised", "--model_dir", mdir,
+                 "--out_dir", stream_dir, "--streaming",
+                 "--chunk_frames", "8"])
+    from idccrn_vae_tpu.eval.export import load_streaming_artifact
+
+    step, init_state, smeta = load_streaming_artifact(stream_dir)
+    assert smeta["chunk_samples"] == 800
+    state = init_state()
+    out, state = step(state, np.zeros((1, 800), np.float32))
+    assert np.asarray(out).shape == (1, 800)
 
     # serve from the artifact alone (no checkpoint / model code);
     # include one wav LONGER than the max bucket -> windowed 4000+4000+
