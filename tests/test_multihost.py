@@ -70,22 +70,38 @@ def _free_port():
     return port
 
 
+def _spawn_workers(tmp_path, script):
+    """Run the 2-process job; retry on Gloo's fixed 30 s rendezvous
+    deadline, which a loaded 1-CPU host can miss by descheduling one
+    worker (a contention flake, not a correctness failure)."""
+    env = {k: v for k, v in os.environ.items()}
+    env["PYTHONPATH"] = REPO
+    last = ""
+    for _attempt in range(3):
+        port = _free_port()
+        procs, outs = [], []
+        for pid in range(2):
+            out = str(tmp_path / f"out{pid}.json")
+            outs.append(out)
+            procs.append(subprocess.Popen(
+                [sys.executable, str(script), str(pid), str(port), out],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
+        logs = []
+        for p in procs:
+            stdout, _ = p.communicate(timeout=900)
+            logs.append(stdout.decode()[-3000:])
+        if all(p.returncode == 0 for p in procs):
+            return outs
+        last = "\n".join(logs)
+        if "DEADLINE_EXCEEDED" not in last:
+            break
+    raise AssertionError(last)
+
+
 def test_two_process_matches_single_process(tmp_path):
     script = tmp_path / "worker.py"
     script.write_text(_WORKER)
-    port = _free_port()
-    env = {k: v for k, v in os.environ.items()}
-    env["PYTHONPATH"] = REPO
-    procs, outs = [], []
-    for pid in range(2):
-        out = str(tmp_path / f"out{pid}.json")
-        outs.append(out)
-        procs.append(subprocess.Popen(
-            [sys.executable, str(script), str(pid), str(port), out],
-            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
-    for p in procs:
-        stdout, _ = p.communicate(timeout=900)
-        assert p.returncode == 0, stdout.decode()[-3000:]
+    outs = _spawn_workers(tmp_path, script)
     r0 = json.load(open(outs[0]))
     r1 = json.load(open(outs[1]))
 
