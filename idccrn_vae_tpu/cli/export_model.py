@@ -67,6 +67,18 @@ def main(argv=None):
     seconds = [float(s) for s in args.seconds.split(",") if s.strip()]
     if not seconds:
         raise SystemExit("--seconds must name at least one length")
+    if args.streaming and args.model == "nsvae" and (
+            args.outtype != "clean_direct" or args.latent_to_use != 1
+            or args.noise_decoder_dir or args.num_samples != 1):
+        # StreamingEnhancer implements exactly the clean-direct
+        # posterior-mean (z = mu) chunk path; exporting while silently
+        # dropping these flags would ship an artifact whose meta lies
+        # about what the program computes.
+        raise SystemExit(
+            "--streaming exports the clean_direct latent-1 "
+            "posterior-mean chunk step; --outtype/--latent_to_use/"
+            "--noise_decoder_dir/--num_samples do not apply "
+            "(use the offline export for mask out-types)")
     meta = {"model": args.model, "fs": args.fs}
 
     if args.model == "supervised":
@@ -108,6 +120,9 @@ def main(argv=None):
 
         if not (enc_cfg.causal and dec_cfg.causal):
             raise SystemExit("--streaming requires a causal checkpoint")
+        if args.model == "nsvae":
+            meta.pop("num_samples", None)
+            meta["latent"] = "posterior_mean"
         streamer = StreamingEnhancer(enc_cfg, dec_cfg, enc_vars, dec_vars,
                                      chunk_frames=args.chunk_frames,
                                      model=args.model)

@@ -141,34 +141,38 @@ class Enhancer:
         self.bucket_frames = bucket_frames
         self._fns = {}
 
+    # -- the enhancement forward (also exported AOT by eval/export.py) -----
+    def forward(self, enc_vars, dec_vars, noise_dec_vars, wav, rng):
+        """Pure enhancement program: STFT -> encoder -> latent sampling
+        -> decoder(s) -> outtype combination -> ISTFT. The single source
+        of truth for the serving math — `_build` jits it per bucket and
+        `eval/export.py::serving_fn_nsvae` exports it with the weights
+        baked in."""
+        s = self.enc_cfg.stft
+        out, _ = self.encoder.apply(
+            enc_vars, wav, train=False, rng=rng,
+            num_samples=self.num_samples,
+        )
+        skips = split_noisy_skips(out.skips, self.enc_cfg, "speech")
+        (recon, pred_s), _ = self.decoder.apply(
+            dec_vars, out.stft_x, out.z_speech, skips, train=False,
+            num_samples=self.num_samples, pad_mode=self.pad_mode,
+        )
+        if self.outtype == "clean_direct":
+            return _sample_mean(recon, self.num_samples)
+        nskips = split_noisy_skips(out.skips, self.enc_cfg, "noise")
+        (_rn, pred_n), _ = self.noise_decoder.apply(
+            noise_dec_vars, out.stft_x, out.z_noise, nskips,
+            train=False, num_samples=self.num_samples,
+            pad_mode=self.pad_mode,
+        )
+        est = combine_outputs(self.outtype, pred_s, pred_n, out.stft_x,
+                              self.num_samples)
+        return istft(est, s.n_fft, s.hop, s.win_length)
+
     # -- single-bucket jitted program --------------------------------------
     def _build(self, length: int) -> Callable:
-        s = self.enc_cfg.stft
-
-        @jax.jit
-        def fn(enc_vars, dec_vars, noise_dec_vars, wav, rng):
-            out, _ = self.encoder.apply(
-                enc_vars, wav, train=False, rng=rng,
-                num_samples=self.num_samples,
-            )
-            skips = split_noisy_skips(out.skips, self.enc_cfg, "speech")
-            (recon, pred_s), _ = self.decoder.apply(
-                dec_vars, out.stft_x, out.z_speech, skips, train=False,
-                num_samples=self.num_samples, pad_mode=self.pad_mode,
-            )
-            if self.outtype == "clean_direct":
-                return _sample_mean(recon, self.num_samples)
-            nskips = split_noisy_skips(out.skips, self.enc_cfg, "noise")
-            (_rn, pred_n), _ = self.noise_decoder.apply(
-                noise_dec_vars, out.stft_x, out.z_noise, nskips,
-                train=False, num_samples=self.num_samples,
-                pad_mode=self.pad_mode,
-            )
-            est = combine_outputs(self.outtype, pred_s, pred_n, out.stft_x,
-                                  self.num_samples)
-            return istft(est, s.n_fft, s.hop, s.win_length)
-
-        return fn
+        return jax.jit(self.forward)
 
     def _fn_for(self, length: int) -> Callable:
         if length not in self._fns:

@@ -42,33 +42,14 @@ META_NAME = "meta.json"
 
 def serving_fn_nsvae(enhancer):
     """Serving closure over an eval.enhance.Enhancer: (wav, raw_key) ->
-    enhanced wav, with all weights captured as constants."""
-    from idccrn_vae_tpu.eval.enhance import _sample_mean, combine_outputs
-    from idccrn_vae_tpu.models.nsvae import split_noisy_skips
-    from idccrn_vae_tpu.ops.stft import istft
-
-    s = enhancer.enc_cfg.stft
+    enhanced wav, with all weights captured as constants. The math is
+    Enhancer.forward — the live and exported programs share one body,
+    so they cannot diverge."""
 
     def fn(wav, raw_key):
         rng = jax.random.wrap_key_data(raw_key.astype(jnp.uint32))
-        out, _ = enhancer.encoder.apply(
-            enhancer.enc_vars, wav, train=False, rng=rng,
-            num_samples=enhancer.num_samples)
-        skips = split_noisy_skips(out.skips, enhancer.enc_cfg, "speech")
-        (recon, pred_s), _ = enhancer.decoder.apply(
-            enhancer.dec_vars, out.stft_x, out.z_speech, skips,
-            train=False, num_samples=enhancer.num_samples,
-            pad_mode=enhancer.pad_mode)
-        if enhancer.outtype == "clean_direct":
-            return _sample_mean(recon, enhancer.num_samples)
-        nskips = split_noisy_skips(out.skips, enhancer.enc_cfg, "noise")
-        (_rn, pred_n), _ = enhancer.noise_decoder.apply(
-            enhancer.noise_dec_vars, out.stft_x, out.z_noise, nskips,
-            train=False, num_samples=enhancer.num_samples,
-            pad_mode=enhancer.pad_mode)
-        est = combine_outputs(enhancer.outtype, pred_s, pred_n, out.stft_x,
-                              enhancer.num_samples)
-        return istft(est, s.n_fft, s.hop, s.win_length)
+        return enhancer.forward(enhancer.enc_vars, enhancer.dec_vars,
+                                enhancer.noise_dec_vars, wav, rng)
 
     return fn
 
@@ -122,10 +103,14 @@ def export_streaming(streamer, batch: int = 1, platforms=("cpu", "tpu")):
 
 
 STREAM_ARTIFACT_NAME = "stream_step.jaxexp"
+STREAM_META_NAME = "stream_meta.json"
 
 
 def save_streaming_artifact(out_dir: str, exported, state_spec,
                             meta: dict) -> str:
+    """Streaming meta lives in its own file (STREAM_META_NAME) so an
+    offline and a streaming export of the same model can share one
+    artifact directory without clobbering each other's meta.json."""
     os.makedirs(out_dir, exist_ok=True)
     path = os.path.join(out_dir, STREAM_ARTIFACT_NAME)
     with open(path, "wb") as f:
@@ -137,7 +122,7 @@ def save_streaming_artifact(out_dir: str, exported, state_spec,
         "(state: [arrays per state_spec], chunk[batch, chunk_samples] "
         "f32) -> (out[batch, chunk_samples], new_state)")
     meta["platforms"] = list(exported.platforms)
-    with open(os.path.join(out_dir, META_NAME), "w") as f:
+    with open(os.path.join(out_dir, STREAM_META_NAME), "w") as f:
         json.dump(meta, f, indent=1)
     return path
 
@@ -145,7 +130,10 @@ def save_streaming_artifact(out_dir: str, exported, state_spec,
 def load_streaming_artifact(artifact_dir: str):
     """(step, init_state, meta): a real-time enhancement loop with jax
     alone. state = init_state(); out, state = step(state, chunk)."""
-    with open(os.path.join(artifact_dir, META_NAME)) as f:
+    meta_path = os.path.join(artifact_dir, STREAM_META_NAME)
+    if not os.path.exists(meta_path):  # pre-split-meta artifacts
+        meta_path = os.path.join(artifact_dir, META_NAME)
+    with open(meta_path) as f:
         meta = json.load(f)
     with open(os.path.join(artifact_dir, meta["artifact"]), "rb") as f:
         exported = jexport.deserialize(f.read())

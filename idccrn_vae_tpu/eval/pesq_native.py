@@ -266,6 +266,13 @@ def pesq_wb_native(ref, deg, fs=FS) -> float:
     active = frame_pow > TARGET_POWER * 1e-4
     if not np.any(active):
         active = frame_pow > 0
+    if not np.any(active):
+        # silent/degenerate reference: the ITU reference code (and the
+        # `pesq` package, NoUtterancesError) refuses to score rather
+        # than returning the raw-offset maximum MOS; raising here lets
+        # metrics.pesq_wb apply the reference's 0.0 substitution
+        # (utils/eval_metrics.py:105-110).
+        raise ValueError("no speech-active frames in the reference signal")
 
     # 6a. PARTIAL frequency-response compensation of the reference:
     # the bounded band ratio is applied with a sub-unity exponent, so

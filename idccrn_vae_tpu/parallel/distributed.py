@@ -68,10 +68,20 @@ def shard_file_list(files: Sequence[str],
                     process_index: Optional[int] = None,
                     process_count: Optional[int] = None) -> list:
     """Deterministic per-process dataset shard (strided so shards stay
-    balanced under sorted-by-length file lists)."""
+    balanced under sorted-by-length file lists).
+
+    Shards are padded to EQUAL length by wrapping around to the start
+    of the list (like torch's DistributedSampler): every process must
+    yield the same number of batches, or one process enters the
+    compiled step's gradient all-reduce on an extra batch while its
+    peers never issue the matching collective — a silent deadlock. The
+    cost is up to process_count-1 duplicated files per epoch."""
     pi = jax.process_index() if process_index is None else process_index
     pc = jax.process_count() if process_count is None else process_count
-    return list(files)[pi::pc]
+    files = list(files)
+    if files and len(files) % pc:
+        files = files + files[: pc - len(files) % pc]
+    return files[pi::pc]
 
 
 def local_batch_size(global_batch: int) -> int:

@@ -185,18 +185,31 @@ def test_export_model_cli(tmp_path, monkeypatch):
     with pytest.raises(ValueError, match="largest artifact bucket"):
         call(np.zeros((1, 5000), np.float32))
 
-    # streaming artifact via the CLI (supervised is causal here)
-    stream_dir = str(tmp_path / "stream_artifact")
+    # streaming artifact via the CLI (supervised is causal here) — into
+    # the SAME directory as the offline buckets: the split meta files
+    # (meta.json / stream_meta.json) must coexist without clobbering
     export_main(["--model", "supervised", "--model_dir", mdir,
-                 "--out_dir", stream_dir, "--streaming",
+                 "--out_dir", out_dir, "--streaming",
                  "--chunk_frames", "8"])
     from idccrn_vae_tpu.eval.export import load_streaming_artifact
 
-    step, init_state, smeta = load_streaming_artifact(stream_dir)
+    step, init_state, smeta = load_streaming_artifact(out_dir)
     assert smeta["chunk_samples"] == 800
     state = init_state()
     out, state = step(state, np.zeros((1, 800), np.float32))
     assert np.asarray(out).shape == (1, 800)
+    # the offline artifact set is still fully loadable after the
+    # streaming export wrote into the same directory
+    call2, meta2 = load_artifact(out_dir)
+    assert [b["length"] for b in meta2["buckets"]] == [2000, 4000]
+    assert np.asarray(call2(wav[:1])).shape == (1, 4000)
+
+    # unsupported streaming flag combos fail fast instead of exporting
+    # an artifact that silently computes something else
+    with pytest.raises(SystemExit, match="clean_direct latent-1"):
+        export_main(["--model", "nsvae", "--nsvae_dir", "unused",
+                     "--out_dir", out_dir, "--streaming",
+                     "--outtype", "complex_mask", "--latent_to_use", "2"])
 
     # serve from the artifact alone (no checkpoint / model code);
     # include one wav LONGER than the max bucket -> windowed 4000+4000+

@@ -123,3 +123,15 @@ def test_eval_metrics_all_returns_real_pesq():
     rmse, sisdr, p, e = out
     assert 1.0 < p < 4.644 and 0 < e < 1
     assert pesq_wb(FS, sp, deg) == pytest.approx(p)
+
+
+def test_silent_reference_rejected_not_perfect():
+    """A silent (all-zero) reference has no speech-active frames: the
+    native path must refuse to score (like the pesq package's
+    NoUtterancesError) so pesq_wb applies the reference's 0.0
+    substitution — NOT return the raw-offset maximum MOS 4.64."""
+    ref = np.zeros(FS, np.float32)
+    deg, _ = _speechish(0, seconds=1.0)
+    with pytest.raises(ValueError, match="speech-active"):
+        pesq_wb_native(ref, deg)
+    assert pesq_wb(FS, ref, deg) == 0.0
