@@ -14,9 +14,10 @@ delta (complex, |delta| < sigma) has covariance of the stacked real
 from __future__ import annotations
 
 import jax.numpy as jnp
+from jax import lax
 from jax.scipy.special import logsumexp
 
-from idccrn_vae_tpu.models.reparam import CGauss
+from idccrn_vae_tpu.models.reparam import CGauss, project_delta
 
 
 def standard_prior_like(g: CGauss, prior_mode: str = "ri_inde") -> CGauss:
@@ -29,13 +30,33 @@ def standard_prior_like(g: CGauss, prior_mode: str = "ri_inde") -> CGauss:
 
 
 def _guard_delta(sigma, dr, di, eps, factor):
-    """|delta| <= factor*sigma projection (shared guard)."""
-    abs_d = jnp.sqrt(dr * dr + di * di + eps)
-    scale = sigma * factor / (abs_d + eps)
-    viol = abs_d >= (sigma - 1e-3)
-    dr = jnp.where(viol, dr * scale, dr)
-    di = jnp.where(viol, di * scale, di)
+    """|delta| <= factor*sigma projection. The formula lives in
+    models/reparam.project_delta — sampling and density math MUST use
+    the identical guarded delta, so there is exactly one copy."""
+    dr, di = project_delta(sigma, dr, di, eps=eps, factor=factor)
     return dr, di, dr * dr + di * di
+
+
+def _log_density_core(sigma, dr, di, zr, zi, eps):
+    """log q(z) up to the constant -H*log(pi), reduced over the last
+    (latent) axis. All args pre-guarded and mutually broadcastable;
+    zr/zi are already mean-centered. The single implementation of the
+    closed form cal_gaussian_prob (pretrain_pvaes_loss.py:64-128)
+    duplicates >= 6x in the reference — used by complex_gaussian_log_prob,
+    mutual_information, and EstLikelihoodVaeLoss.recon_log_likelihood."""
+    abs_d = dr * dr + di * di
+    p = sigma - abs_d / (sigma + eps)
+    reci_p = 1.0 / (p + eps)
+    rp_r = dr / (sigma * p + eps)
+    rp_i = -di / (sigma * p + eps)
+    p_1_minus = reci_p - abs_d / (sigma * p * sigma + eps)
+    log_det = jnp.sum(jnp.log(p_1_minus + eps), axis=-1)
+    log_1_over_p = jnp.sum(jnp.log(reci_p + eps), axis=-1)
+    quad = -jnp.sum((zr * zr + zi * zi) * reci_p, axis=-1)
+    real_part = jnp.sum(
+        (zr * zr - zi * zi) * rp_r - 2.0 * zr * zi * rp_i, axis=-1
+    )
+    return 0.5 * (log_det + log_1_over_p) + real_part + quad
 
 
 def complex_kl_divergence(g1: CGauss, g2: CGauss, eps: float = 1e-10
@@ -74,66 +95,40 @@ def complex_gaussian_log_prob(g: CGauss, z_r: jnp.ndarray, z_i: jnp.ndarray,
     its 0.90 delta-guard factor. g fields are (B, T, H); z_r/z_i are
     (B, S, T, H). Returns (B, S, T).
     """
-    sigma = jnp.exp(g.log_sigma)[:, None]            # (B,1,T,H)
-    dr, di, _ = _guard_delta(
-        jnp.exp(g.log_sigma), g.delta_r, g.delta_i, eps, 0.90
-    )
-    dr, di = dr[:, None], di[:, None]
-    abs_d = dr * dr + di * di
-    p = sigma - abs_d / (sigma + eps)
-    reci_p = 1.0 / (p + eps)
-    rp_r = dr / (sigma * p + eps)
-    rp_i = -di / (sigma * p + eps)
-    p_1_minus = reci_p - abs_d / (sigma * p * sigma + eps)
-    log_det = jnp.sum(jnp.log(p_1_minus + eps), axis=-1)     # (B,1,T)
-    log_1_over_p = jnp.sum(jnp.log(reci_p + eps), axis=-1)   # (B,1,T)
-
+    sigma = jnp.exp(g.log_sigma)
+    dr, di, _ = _guard_delta(sigma, g.delta_r, g.delta_i, eps, 0.90)
     zr = z_r - g.mu_r[:, None]
     zi = z_i - g.mu_i[:, None]
-    quad = -jnp.sum((zr * zr + zi * zi) * reci_p, axis=-1)
-    real_part = jnp.sum(
-        (zr * zr - zi * zi) * rp_r - 2.0 * zr * zi * rp_i, axis=-1
-    )
-    return 0.5 * (log_det + log_1_over_p) + real_part + quad
+    return _log_density_core(sigma[:, None], dr[:, None], di[:, None],
+                             zr, zi, eps)
 
 
 def mutual_information(g: CGauss, z_r, z_i, eps: float = 1e-9) -> jnp.ndarray:
     """Minibatch MI estimator I(x; z) (pretrain_pvaes_loss.py:129-158).
 
-    Vectorized over the reference's O(B^2) python loop: one broadcasted
-    log-prob evaluation (B_z, B_x, S, T) then logsumexp over B_x.
-    z_r/z_i: (B, S, T, H).
+    Vectorized over the reference's O(B^2) python loop, but memory-
+    bounded: a fully broadcast (B_z, B_x, S, T, H) evaluation is ~3 GB
+    per temporary at reference geometry (B=16, S=5, T=481, H=128) and
+    can OOM a chip once the backward pass doubles it. Instead lax.map
+    scans the z-batch axis: each step evaluates one z sample-set
+    against ALL x posteriors — peak memory O(B_x*S*T*H), identical
+    result. z_r/z_i: (B, S, T, H).
     """
     b = z_r.shape[0]
     log_q_zx = complex_gaussian_log_prob(g, z_r, z_i, eps)  # (B,S,T)
 
-    # log q(z_i) ≈ logsumexp_j log q(z_i | x_j) - log B, evaluated as one
-    # broadcasted pass over (B_z, B_x) pairs.
+    # log q(z_i) ≈ logsumexp_j log q(z_i | x_j) - log B.
     sigma = jnp.exp(g.log_sigma)
     dr, di, _ = _guard_delta(sigma, g.delta_r, g.delta_i, eps, 0.90)
+    s_, dr_, di_ = sigma[:, None], dr[:, None], di[:, None]  # (B_x,1,T,H)
 
-    def lp_all(zr, zi):
-        # zr/zi: (B_z, S, T, H) -> broadcast against params (B_x, T, H)
-        s_ = sigma[None, :, None]            # (1, B_x, 1, T, H)
-        dr_ = dr[None, :, None]
-        di_ = di[None, :, None]
-        abs_d = dr_ * dr_ + di_ * di_
-        p = s_ - abs_d / (s_ + eps)
-        reci_p = 1.0 / (p + eps)
-        rp_r = dr_ / (s_ * p + eps)
-        rp_i = -di_ / (s_ * p + eps)
-        p1m = reci_p - abs_d / (s_ * p * s_ + eps)
-        log_det = jnp.sum(jnp.log(p1m + eps), axis=-1)
-        log_1p = jnp.sum(jnp.log(reci_p + eps), axis=-1)
-        zr_ = zr[:, None] - g.mu_r[None, :, None]   # (B_z, B_x, S, T, H)
-        zi_ = zi[:, None] - g.mu_i[None, :, None]
-        quad = -jnp.sum((zr_ * zr_ + zi_ * zi_) * reci_p, axis=-1)
-        real_part = jnp.sum(
-            (zr_ * zr_ - zi_ * zi_) * rp_r - 2.0 * zr_ * zi_ * rp_i, axis=-1
-        )
-        return 0.5 * (log_det + log_1p) + real_part + quad  # (B_z,B_x,S,T)
+    def lp_one(z):
+        zr1, zi1 = z                          # (S, T, H) — one z-batch row
+        zr = zr1[None] - g.mu_r[:, None]      # (B_x, S, T, H)
+        zi = zi1[None] - g.mu_i[:, None]
+        return _log_density_core(s_, dr_, di_, zr, zi, eps)  # (B_x, S, T)
 
-    log_prob = lp_all(z_r, z_i)
+    log_prob = lax.map(lp_one, (z_r, z_i))    # (B_z, B_x, S, T)
     log_q_z = logsumexp(log_prob, axis=1) - jnp.log(b)  # (B_z, S, T)
     mi = jnp.mean(jnp.mean(log_q_zx - log_q_z, axis=1), axis=0)
     return jnp.mean(mi)

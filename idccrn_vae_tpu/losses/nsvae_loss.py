@@ -15,6 +15,7 @@ import jax.numpy as jnp
 
 from idccrn_vae_tpu.losses.complex_gaussian import complex_kl_divergence
 from idccrn_vae_tpu.models.config import DccrnConfig
+from idccrn_vae_tpu.models.nsvae import split_noisy_skips
 from idccrn_vae_tpu.models.reparam import CGauss
 
 
@@ -57,7 +58,6 @@ class NsvaeTrueKlLoss:
         self.matching = matching
         self.use_skips = use_skips
         self.eps = 1e-10
-        self.skiper_split = cfg.channel_mode in ("double", "adapt")
 
     def kl_loss(self, g_clean, g_noise, g_ns, g_nn):
         kl_clean = jnp.mean(complex_kl_divergence(g_ns, g_clean, self.eps))
@@ -69,38 +69,28 @@ class NsvaeTrueKlLoss:
             total = kl_clean + self.alpha * kl_noise
         return total, kl_clean, kl_noise
 
-    def _split(self, skip, which: str, stage_doubled: bool):
-        if not stage_doubled:
-            return skip
-        c = skip.shape[-1] // 2
-        half = c // 2
-        re, im = skip[..., :c], skip[..., c:]
-        if which == "speech":
-            return jnp.concatenate([re[..., :half], im[..., :half]], -1)
-        return jnp.concatenate([re[..., half:], im[..., half:]], -1)
-
     def residual_loss(self, skips_clean, skips_noise, skips_noisy):
         """Mean-squared skip matching at skip_to_use stages
         (nsvae_loss.py:363-445). Skip index i matches when
-        (num_stages-1-i) in skip_to_use."""
+        (num_stages-1-i) in skip_to_use. The speech/noise half-split of
+        the noisy skips is models/nsvae.split_noisy_skips — the SAME
+        convention the decoders consume, so the loss and the model
+        cannot disagree about which channels are speech."""
         n = self.cfg.num_stages
         loss_speech = jnp.zeros(())
         loss_noise = jnp.zeros(())
         match_noise = self.cfg.latent_num == 2 and self.matching == "both"
+        sp = split_noisy_skips(skips_noisy, self.cfg, "speech")
+        no = (split_noisy_skips(skips_noisy, self.cfg, "noise")
+              if match_noise else None)
         for i in range(n):
             if (n - 1 - i) not in self.cfg.skip_to_use:
                 continue
-            doubled = self.cfg.channel_mode == "double" or (
-                self.cfg.channel_mode == "adapt"
-                and (n - 1 - i) in self.cfg.skip_to_use
-            )
-            split = self.skiper_split and doubled
-            s_sp = self._split(skips_noisy[i], "speech", split)
-            loss_speech = loss_speech + jnp.mean((skips_clean[i] - s_sp) ** 2)
+            loss_speech = loss_speech + jnp.mean(
+                (skips_clean[i] - sp[i]) ** 2)
             if match_noise:
-                s_no = self._split(skips_noisy[i], "noise", split)
                 loss_noise = loss_noise + jnp.mean(
-                    (skips_noise[i] - s_no) ** 2
+                    (skips_noise[i] - no[i]) ** 2
                 )
         return loss_speech + loss_noise, loss_speech, loss_noise
 
@@ -128,6 +118,13 @@ class NsvaeTrueKlLoss:
         dismiu = dismiu_speech + dismiu_noise
 
         if self.use_skips and self.w_resi != 0 and skips_clean is not None:
+            need_noise = self.cfg.latent_num == 2 and self.matching == "both"
+            if skips_noisy is None or (need_noise and skips_noise is None):
+                raise ValueError(
+                    "residual matching needs skips_noisy"
+                    + (" and skips_noise (matching='both', latent_num=2)"
+                       if need_noise else "")
+                    + " alongside skips_clean; got None")
             resi, resi_s, resi_n = self.residual_loss(
                 skips_clean, skips_noise, skips_noisy
             )

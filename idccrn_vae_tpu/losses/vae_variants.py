@@ -23,6 +23,7 @@ import jax.numpy as jnp
 
 from idccrn_vae_tpu.losses.complex_gaussian import (
     _guard_delta,
+    _log_density_core,
     complex_kl_divergence,
     mutual_information,
     standard_prior_like,
@@ -87,20 +88,9 @@ class EstLikelihoodVaeLoss:
         ti = jnp.swapaxes(target[..., 1], 1, 2)[:, None]
         sigma = jnp.exp(g_x.log_sigma)
         dr, di, _ = _guard_delta(sigma, g_x.delta_r, g_x.delta_i, eps, 0.90)
-        abs_d = dr * dr + di * di
-        p = sigma - abs_d / (sigma + eps)
-        reci_p = 1.0 / (p + eps)
-        rp_r = dr / (sigma * p + eps)
-        rp_i = -di / (sigma * p + eps)
-        p1m = reci_p - abs_d / (sigma * p * sigma + eps)
-        log_det = jnp.sum(jnp.log(p1m + eps), axis=-1)
-        log_1p = jnp.sum(jnp.log(reci_p + eps), axis=-1)
         zr = tr - g_x.mu_r
         zi = ti - g_x.mu_i
-        quad = -jnp.sum((zr * zr + zi * zi) * reci_p, axis=-1)
-        real_part = jnp.sum((zr * zr - zi * zi) * rp_r
-                            - 2.0 * zr * zi * rp_i, axis=-1)
-        log_prob = 0.5 * (log_det + log_1p) + real_part + quad
+        log_prob = _log_density_core(sigma, dr, di, zr, zi, eps)
         loss_cpx = jnp.mean(jnp.sum(zr * zr + zi * zi, axis=-1))
         return -jnp.mean(log_prob), loss_cpx
 

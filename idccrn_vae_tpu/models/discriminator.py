@@ -13,6 +13,7 @@ import jax.numpy as jnp
 from idccrn_vae_tpu.models.config import DccrnConfig, bottleneck_dims
 from idccrn_vae_tpu.models.modules import (
     apply_encoder_stack,
+    flatten_bottleneck,
     init_encoder_stack,
 )
 from idccrn_vae_tpu.ops.lstm import init_lstm, lstm
@@ -47,11 +48,11 @@ class Discriminator:
             params["encoder"], stats["encoder"], x, cfg, train, dis_mode=True
         )
         # Interleave re/im per (c, f) feature to match the reference's
-        # reshape(T, B, C*F*2) on a (..., C*F, 2) tensor.
-        b, f, t, c2 = x.shape
-        c = c2 // 2
-        re = jnp.transpose(x[..., :c], (0, 2, 3, 1)).reshape(b, t, c * f)
-        im = jnp.transpose(x[..., c:], (0, 2, 3, 1)).reshape(b, t, c * f)
-        seq = jnp.stack([re, im], axis=-1).reshape(b, t, 2 * c * f)
+        # reshape(T, B, C*F*2) on a (..., C*F, 2) tensor. The C-major
+        # CF ordering itself is flatten_bottleneck — the one source of
+        # truth for the checkpoint-interop flattening convention.
+        b, _f, t, _c2 = x.shape
+        re, im = jnp.split(flatten_bottleneck(x), 2, axis=-1)
+        seq = jnp.stack([re, im], axis=-1).reshape(b, t, -1)
         score = lstm(seq, params["lstm"])  # (B, T, 1)
         return score, {"encoder": enc_stats}

@@ -142,6 +142,11 @@ def _pallas_ok(hidden: int, backend: str) -> bool:
     from idccrn_vae_tpu.ops.pallas.lstm_kernel import pallas_lstm_available
 
     if backend == "pallas":
+        if not pallas_lstm_available():
+            raise ValueError(
+                "backend='pallas' requires a TPU backend (Mosaic "
+                "lowering); use backend='scan' or 'auto' on "
+                f"{jax.default_backend()!r}")
         return True
     # auto currently resolves to the scan path: on v5e the XLA while-loop
     # scan benches at parity with (or ahead of) the Pallas kernel for the
@@ -175,6 +180,13 @@ def complex_lstm(x: jnp.ndarray, params: dict, unroll: int = 4,
                            list(params["re"]), list(params["im"]))
     hidden = params["re"][0]["w_hh"].shape[0]
 
+    if backend == "pallas" and (return_state or state is not None):
+        # the kernel always starts from zeroed carries and does not
+        # expose the final (h, c) — carried-state callers (streaming)
+        # must use the scan path.
+        raise ValueError(
+            "backend='pallas' does not support carried LSTM state "
+            "(state=/return_state=); use backend='scan'")
     if _pallas_ok(hidden, backend):
         from idccrn_vae_tpu.ops.pallas.lstm_kernel import stacked_lstm_layer
 

@@ -71,9 +71,15 @@ def _free_port():
 
 
 def _spawn_workers(tmp_path, script):
-    """Run the 2-process job; retry on Gloo's fixed 30 s rendezvous
-    deadline, which a loaded 1-CPU host can miss by descheduling one
-    worker (a contention flake, not a correctness failure)."""
+    """Run the 2-process job, retrying failures up to 3 times.
+
+    The Gloo/coordination-service rendezvous has fixed deadlines that a
+    loaded 1-CPU host misses in several distinct ways (DEADLINE_EXCEEDED,
+    'Connect timeout', 'barrier too early or too slowly', ...) when the
+    rest of the suite runs concurrently. These are contention flakes,
+    not correctness failures — and a genuine correctness failure (loss
+    mismatch) is deterministic, so it still fails all 3 attempts and
+    surfaces the final log."""
     env = {k: v for k, v in os.environ.items()}
     env["PYTHONPATH"] = REPO
     last = ""
@@ -93,11 +99,6 @@ def _spawn_workers(tmp_path, script):
         if all(p.returncode == 0 for p in procs):
             return outs
         last = "\n".join(logs)
-        # DEADLINE_EXCEEDED = missed 30 s rendezvous; "Connect timeout"
-        # = Gloo TCP pair setup missed its fixed window. Both are
-        # contention signatures, not correctness failures.
-        if "DEADLINE_EXCEEDED" not in last and "Connect timeout" not in last:
-            break
     raise AssertionError(last)
 
 

@@ -37,3 +37,22 @@ def test_state_reset_between_weight_sets():
     whh = jnp.asarray(np.concatenate([whh_one, whh_one]))
     out = np.asarray(stacked_lstm_layer(xp, whh, interpret=True))
     np.testing.assert_allclose(out[0], out[1], atol=1e-6)
+
+
+def test_pallas_backend_guards():
+    """backend='pallas' must fail loudly (not UnboundLocalError or an
+    opaque Mosaic error) when asked for carried state or run off-TPU."""
+    import pytest
+
+    from idccrn_vae_tpu.ops.lstm import complex_lstm
+
+    params = init_complex_lstm(jax.random.PRNGKey(0), 4, 4, 1)
+    x = jnp.zeros((2, 6, 8), jnp.float32)
+    with pytest.raises(ValueError, match="carried LSTM state"):
+        complex_lstm(x, params, backend="pallas", return_state=True)
+    with pytest.raises(ValueError, match="carried LSTM state"):
+        complex_lstm(x, params, backend="pallas",
+                     state=[(jnp.zeros((2, 4, 4)), jnp.zeros((2, 4, 4)))])
+    if jax.default_backend() != "tpu":
+        with pytest.raises(ValueError, match="requires a TPU"):
+            complex_lstm(x, params, backend="pallas")
