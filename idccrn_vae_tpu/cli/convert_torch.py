@@ -15,6 +15,7 @@ Example:
 from __future__ import annotations
 
 import argparse
+import dataclasses
 from dataclasses import asdict
 
 from idccrn_vae_tpu.models import torch_import as ti
@@ -87,9 +88,15 @@ def main(argv=None):
         best = {"noisy_enc": ti.import_nsvae_encoder(
             ti.load_state_dict(args.encoder), cfg)}
         ckpt.save_best(best)
+        # pre_config is the PRETRAIN geometry the phase-1 decoder was
+        # trained at (load_enhancement_checkpoints builds VaeDecoder
+        # from it): single latent, nominal channels — NOT the noisy
+        # encoder's double/adapt dual-latent config.
+        pre_cfg = dataclasses.replace(cfg, latent_num=1,
+                                      channel_mode="normal")
         ckpt.save_meta({"model_name": args.model_name,
                         "noisy_config": asdict(cfg),
-                        "pre_config": asdict(cfg),
+                        "pre_config": asdict(pre_cfg),
                         "epoch": -1, "best_val": float("nan"), "patience": 0,
                         "sched": {"best": float("inf"), "num_bad": 0},
                         "converted_from": [args.encoder]})

@@ -80,6 +80,7 @@ def main(argv=None):
             "--noise_decoder_dir/--num_samples do not apply "
             "(use the offline export for mask out-types)")
     meta = {"model": args.model, "fs": args.fs}
+    datanorm = None  # supervised-only; NSVAE forwards have no datanorm
 
     if args.model == "supervised":
         if not args.model_dir:
@@ -87,11 +88,16 @@ def main(argv=None):
         from idccrn_vae_tpu.models.dccrn import SupervisedDccrn
 
         ckpt = CheckpointManager(args.model_dir)
-        cfg = config_from_meta(ckpt.load_meta())
+        smeta = ckpt.load_meta()
+        cfg = config_from_meta(smeta)
+        from idccrn_vae_tpu.train.checkpoint import datanorm_from_meta
+
+        datanorm = datanorm_from_meta(smeta)
         variables = ckpt.load_best()
         enc_cfg = dec_cfg = cfg
         enc_vars = dec_vars = variables
-        fn = serving_fn_supervised(SupervisedDccrn(cfg), variables)
+        fn = serving_fn_supervised(SupervisedDccrn(cfg, datanorm),
+                                   variables)
     else:
         if not args.nsvae_dir:
             raise SystemExit("--model nsvae requires --nsvae_dir")
@@ -123,9 +129,10 @@ def main(argv=None):
         if args.model == "nsvae":
             meta.pop("num_samples", None)
             meta["latent"] = "posterior_mean"
-        streamer = StreamingEnhancer(enc_cfg, dec_cfg, enc_vars, dec_vars,
-                                     chunk_frames=args.chunk_frames,
-                                     model=args.model)
+        streamer = StreamingEnhancer(
+            enc_cfg, dec_cfg, enc_vars, dec_vars,
+            chunk_frames=args.chunk_frames, model=args.model,
+            datanorm=datanorm)
         exported, state_spec = export_streaming(streamer,
                                                 batch=args.stream_batch)
         hop, n_fft = streamer.hop, streamer.n_fft

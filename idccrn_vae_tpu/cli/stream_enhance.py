@@ -59,19 +59,24 @@ def _load_streaming_models(args):
     if args.model == "supervised":
         if not args.model_dir:
             raise SystemExit("--model supervised requires --model_dir")
-        from idccrn_vae_tpu.train.checkpoint import CheckpointManager
+        from idccrn_vae_tpu.train.checkpoint import (
+            CheckpointManager,
+            datanorm_from_meta,
+        )
 
         ckpt = CheckpointManager(args.model_dir)
-        cfg = config_from_meta(ckpt.load_meta())
+        meta = ckpt.load_meta()
+        cfg = config_from_meta(meta)
         variables = ckpt.load_best()
-        return cfg, cfg, variables, variables
+        return cfg, cfg, variables, variables, datanorm_from_meta(meta)
 
     if not args.nsvae_dir:
         raise SystemExit("--model nsvae requires --nsvae_dir")
     enc_cfg, dec_cfg, enc_vars, dec_vars, _noise, _pad = \
         load_enhancement_checkpoints(args.nsvae_dir, args.decoder_dir,
                                      phase=args.phase)
-    return enc_cfg, dec_cfg, enc_vars, dec_vars
+    # NSVAE noisy encoders never apply datanorm (reference parity)
+    return enc_cfg, dec_cfg, enc_vars, dec_vars, None
 
 
 def main(argv=None):
@@ -85,13 +90,14 @@ def main(argv=None):
     from idccrn_vae_tpu.data.segments import find_wavs
     from idccrn_vae_tpu.eval.streaming import StreamingEnhancer
 
-    enc_cfg, dec_cfg, enc_vars, dec_vars = _load_streaming_models(args)
+    enc_cfg, dec_cfg, enc_vars, dec_vars, datanorm = \
+        _load_streaming_models(args)
     if not (enc_cfg.causal and dec_cfg.causal):
         raise SystemExit("streaming requires a causal checkpoint "
                          "(this one was trained non-causal)")
     streamer = StreamingEnhancer(enc_cfg, dec_cfg, enc_vars, dec_vars,
                                  chunk_frames=args.chunk_frames,
-                                 model=args.model)
+                                 model=args.model, datanorm=datanorm)
     m = streamer.chunk_samples
     chunk_s = m / args.fs
 

@@ -8,7 +8,10 @@ from idccrn_vae_tpu.cli.common import config_from_meta
 from idccrn_vae_tpu.data.segments import find_wavs
 from idccrn_vae_tpu.eval.runners import run_vae_reconstruction_eval
 from idccrn_vae_tpu.models.vae import VaeDecoder, VaeEncoder
-from idccrn_vae_tpu.train.checkpoint import CheckpointManager
+from idccrn_vae_tpu.train.checkpoint import (
+    CheckpointManager,
+    datanorm_from_meta,
+)
 
 
 def build_parser():
@@ -29,9 +32,14 @@ def build_parser():
 def main(argv=None):
     args = build_parser().parse_args(argv)
     ckpt = CheckpointManager(args.model_dir)
-    cfg = config_from_meta(ckpt.load_meta())
+    meta = ckpt.load_meta()
+    cfg = config_from_meta(meta)
     best = ckpt.load_best()
-    enc, dec = VaeEncoder(cfg), VaeDecoder(cfg)
+    # rebuild the training-time datanorm (the reference's test_prevae
+    # silently omits data_mean/std — :549-555 — and so evaluates
+    # datanorm-trained models un-normalized; meta.json fixes that)
+    dn = datanorm_from_meta(meta)
+    enc, dec = VaeEncoder(cfg, dn), VaeDecoder(cfg, dn)
     run_vae_reconstruction_eval(
         enc, dec, best["enc"], best["dec"], find_wavs(args.test_dir),
         args.out_dir, cfg, num_samples=args.num_samples,

@@ -9,7 +9,10 @@ from idccrn_vae_tpu.cli.common import config_from_meta, match_clean_paths
 from idccrn_vae_tpu.data.segments import find_wavs
 from idccrn_vae_tpu.eval.runners import run_supervised_eval
 from idccrn_vae_tpu.models.dccrn import SupervisedDccrn
-from idccrn_vae_tpu.train.checkpoint import CheckpointManager
+from idccrn_vae_tpu.train.checkpoint import (
+    CheckpointManager,
+    datanorm_from_meta,
+)
 
 
 def build_parser():
@@ -32,12 +35,16 @@ def build_parser():
 def main(argv=None):
     args = build_parser().parse_args(argv)
     ckpt = CheckpointManager(args.model_dir)
-    cfg = config_from_meta(ckpt.load_meta())
+    meta = ckpt.load_meta()
+    cfg = config_from_meta(meta)
     if args.model_type == "checkpoint":
         variables = ckpt.load_best()
     else:
         variables = ckpt.load_state()["model"]
-    model = SupervisedDccrn(cfg)
+    # rebuild the training-time datanorm from meta (the reference
+    # re-parses it from the dir name + config mean_file,
+    # supervised_dccrn/test.py:404-413)
+    model = SupervisedDccrn(cfg, datanorm_from_meta(meta))
     noisy_paths = find_wavs(args.noisy_dir)
     clean_paths = match_clean_paths(noisy_paths, args.clean_dir)
     run_supervised_eval(model, variables, noisy_paths, clean_paths,

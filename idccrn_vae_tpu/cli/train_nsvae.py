@@ -49,13 +49,20 @@ def main(argv=None):
     # architecture flags must be passed on the command line.
     clean_dir = ini.get("User", "pre_clean_encoder")
     noise_dir = ini.get("User", "pre_noise_encoder")
-    if clean_dir.endswith((".pt", ".pth")):
-        pre_cfg = model_config(args, ini)
-        clean_ckpt = noise_ckpt = None
-    else:
-        clean_ckpt = CheckpointManager(clean_dir)
-        noise_ckpt = CheckpointManager(noise_dir)
+
+    def _ckpt_or_none(path):
+        # .pt/.pth files go through the torch-import path; only real
+        # checkpoint DIRS get a CheckpointManager (whose constructor
+        # mkdirs — never hand it a file path)
+        return (None if path.endswith((".pt", ".pth"))
+                else CheckpointManager(path))
+
+    clean_ckpt = _ckpt_or_none(clean_dir)
+    noise_ckpt = _ckpt_or_none(noise_dir)
+    if clean_ckpt is not None:
         pre_cfg = config_from_meta(clean_ckpt.load_meta())
+    else:
+        pre_cfg = model_config(args, ini)
 
     channel_mode = {"original": "normal", "double": "double",
                     "adapt": "adapt"}[args.nsvae_model]
@@ -84,12 +91,16 @@ def main(argv=None):
     from idccrn_vae_tpu.cli.common import load_pretrained_variables
 
     pretrained = {}
-    if clean_ckpt is None or clean_ckpt.has_best():
-        pretrained["clean_enc"] = load_pretrained_variables(
-            clean_dir, "vae_encoder", pre_cfg, "enc")
-    if noise_ckpt is None or noise_ckpt.has_best():
-        pretrained["noise_enc"] = load_pretrained_variables(
-            noise_dir, "vae_encoder", pre_cfg, "enc")
+    for key, ck, path in (("clean_enc", clean_ckpt, clean_dir),
+                          ("noise_enc", noise_ckpt, noise_dir)):
+        if ck is not None and not ck.has_best():
+            raise SystemExit(
+                f"{path} has no 'best' snapshot — refusing to train "
+                "NSVAE posterior matching against randomly initialized "
+                "frozen encoders (check pre_clean_encoder / "
+                "pre_noise_encoder in the ini)")
+        pretrained[key] = load_pretrained_variables(
+            path, "vae_encoder", pre_cfg, "enc")
 
     train_loader, val_loader, n_train, n_val = loaders_from_ini(
         ini, "triplet", args.first_use_dataset)

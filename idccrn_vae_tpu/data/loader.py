@@ -36,6 +36,13 @@ class BatchLoader:
         self.prefetch = prefetch
         self._epoch = 0
 
+    def set_epoch(self, epoch: int) -> None:
+        """Pin the shuffle seed to a global epoch number. Called by
+        run_training each epoch so a resumed run at epoch k draws
+        epoch-k's data order, not epoch 0's (resume fidelity — the
+        internal counter alone restarts at 0 in a fresh process)."""
+        self._epoch = int(epoch)
+
     def __len__(self) -> int:
         n = len(self.dataset)
         if self.drop_last:

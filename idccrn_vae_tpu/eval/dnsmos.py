@@ -138,6 +138,10 @@ class ComputeScore:
             audio = resample(audio, fs, SAMPLING_RATE)
             fs = SAMPLING_RATE
         actual_len = len(audio)
+        if actual_len == 0:
+            raise ValueError(
+                "empty audio — cannot score (np.append of a zero-length "
+                "array would loop forever)")
         len_samples = int(INPUT_LENGTH * fs)
         while len(audio) < len_samples:
             audio = np.append(audio, audio)

@@ -194,13 +194,23 @@ class Enhancer:
         rng = jax.random.PRNGKey(0) if rng is None else rng
         fn = self._fn_for(wavs.shape[1])
         wavs = jnp.asarray(wavs)
+        b = wavs.shape[0]
         if self.mesh is not None:
             from idccrn_vae_tpu.parallel.mesh import shard_batch
 
+            # NamedSharding(P('data')) needs the batch dim divisible by
+            # the mesh; pad the final partial batch with zero rows and
+            # trim them from the output.
+            nd = int(self.mesh.devices.size)
+            pad_rows = -b % nd
+            if pad_rows:
+                wavs = jnp.concatenate(
+                    [wavs, jnp.zeros((pad_rows,) + wavs.shape[1:],
+                                     wavs.dtype)])
             wavs = shard_batch(self.mesh, wavs)
         out = fn(self.enc_vars, self.dec_vars, self.noise_dec_vars,
                  wavs, rng)
-        return np.asarray(out)
+        return np.asarray(out)[:b]
 
     def encode_latents(self, wavs: Sequence[np.ndarray],
                        batch_size: int = 8, rng=None):
@@ -233,10 +243,15 @@ class Enhancer:
                 batch[r, : len(wavs[j])] = wavs[j]
             rng, sub = jax.random.split(rng)
             mu_s, mu_n = enc_fn(self.enc_vars, jnp.asarray(batch), sub)
-            for r in range(len(chunk)):
-                speech.append(np.asarray(mu_s[r]))
+            hop = self.enc_cfg.stft.hop
+            for r, j in enumerate(chunk):
+                # trim to the utterance's REAL frame count — padded-
+                # silence frames would bias cov/silhouette diagnostics
+                # vs the reference's per-utterance computation
+                frames = len(wavs[j]) // hop + 1
+                speech.append(np.asarray(mu_s[r][:frames]))
                 if self.enc_cfg.latent_num == 2:
-                    noise.append(np.asarray(mu_n[r]))
+                    noise.append(np.asarray(mu_n[r][:frames]))
             i += batch_size
         return speech, noise
 

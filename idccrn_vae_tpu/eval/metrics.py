@@ -62,8 +62,11 @@ def compute_median(data):
 
 
 def compute_rmse(x_est, x_ref):
-    """Scale-optimal RMSE (eval_metrics.py:33-41)."""
-    alpha = np.sum(x_est * x_ref) / np.sum(x_est**2)
+    """Scale-optimal RMSE (eval_metrics.py:33-41). The epsilon keeps an
+    all-zero estimate (fully suppressed utterance) from producing a 0/0
+    NaN that would abort the whole eval summary."""
+    eps = np.finfo(np.float64).eps
+    alpha = np.sum(x_est * x_ref) / (np.sum(np.square(x_est)) + eps)
     return np.sqrt(np.square(alpha * x_est - x_ref).mean())
 
 

@@ -233,7 +233,9 @@ def run_vae_reconstruction_eval(
         for r, j in enumerate(chunk):
             n = min(len(wavs[j]), rec.shape[1])
             results[j] = rec[r, :n]
-            mus.append(np.asarray(mu[r]))
+            # real frame count only — padded-silence frames would bias
+            # the cov(mu) diagnostics
+            mus.append(np.asarray(mu[r][: len(wavs[j]) // hop + 1]))
         i += batch_size
 
     per_utt = score_pairs(results, wavs, names, fs)

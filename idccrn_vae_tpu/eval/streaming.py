@@ -36,12 +36,15 @@ import numpy as np
 
 from idccrn_vae_tpu.models.config import DccrnConfig, bottleneck_dims, freq_sizes
 from idccrn_vae_tpu.models.modules import (
+    apply_datanorm,
     cpack_concat,
     flatten_bottleneck,
     mask_reconstruct,
     prelu,
+    undo_datanorm,
     unflatten_bottleneck,
 )
+from idccrn_vae_tpu.models.nsvae import split_noisy_skips
 from idccrn_vae_tpu.models.vae import parse_sliced_head, apply_fc_head
 from idccrn_vae_tpu.ops.batchnorm import complex_batch_norm
 from idccrn_vae_tpu.ops.conv import complex_conv2d, complex_conv_transpose2d
@@ -69,13 +72,20 @@ class StreamingEnhancer:
 
     def __init__(self, enc_cfg: DccrnConfig, dec_cfg: DccrnConfig,
                  enc_vars, dec_vars, chunk_frames: int = 10,
-                 model: str = "nsvae"):
+                 model: str = "nsvae", datanorm=None):
         assert enc_cfg.causal and dec_cfg.causal, "streaming needs causal"
         self.enc_cfg = enc_cfg
         self.dec_cfg = dec_cfg
         self.enc_vars = enc_vars
         self.dec_vars = dec_vars
         self.model = model
+        # (mean, std) per-bin stats for datanorm-trained supervised/VAE
+        # checkpoints (models/backbone.py applies them offline; NSVAE
+        # noisy encoders never use datanorm, matching the reference)
+        self.datanorm = None
+        if datanorm is not None:
+            self.datanorm = (jnp.asarray(datanorm[0]),
+                             jnp.asarray(datanorm[1]))
         self.n = chunk_frames
         s = enc_cfg.stft
         self.hop, self.n_fft = s.hop, s.n_fft
@@ -131,6 +141,8 @@ class StreamingEnhancer:
         stft_x = jnp.stack([jnp.real(spec), jnp.imag(spec)],
                            axis=-1)  # (B, N, F, 2)
         stft_x = jnp.swapaxes(stft_x, 1, 2)  # (B, F, N, 2)
+        if self.datanorm is not None:
+            stft_x = apply_datanorm(stft_x, *self.datanorm)
         new_pad_tail = buf[:, -(n_fft - hop):]
 
         # 2. encoder conv stack with carried time columns
@@ -147,6 +159,12 @@ class StreamingEnhancer:
             x, _ = complex_batch_norm(x, p["bn"], s, train=False)
             x = prelu(x, p["prelu"])
             skips.append(x)
+
+        # double/adapt noisy encoders emit doubled skip channels; the
+        # pretrained-geometry decoder consumes the speech half (same
+        # split as the offline Enhancer.forward).
+        if self.model == "nsvae":
+            skips = split_noisy_skips(skips, cfg, "speech")
 
         # 3. LSTM with carried state -> latent (posterior mean) or, for
         # the supervised model, the bottleneck features directly
@@ -192,6 +210,8 @@ class StreamingEnhancer:
             est = mask_reconstruct(p_map, stft_x)
         else:
             est = p_map
+        if self.datanorm is not None:
+            est = undo_datanorm(est, *self.datanorm)
 
         # 6. streaming inverse STFT with carried OLA tails
         cplx = jnp.swapaxes(est[..., 0] + 1j * est[..., 1], 1, 2)

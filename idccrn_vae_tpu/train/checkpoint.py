@@ -95,3 +95,25 @@ class CheckpointManager:
 
     def has_best(self) -> bool:
         return os.path.exists(os.path.join(self.directory, "best"))
+
+
+def datanorm_to_meta(datanorm):
+    """(mean (F,2), std (F,2)) -> JSON-serializable meta entry (or None).
+
+    Persisting the stats WITH the checkpoint fixes a reference footgun:
+    its hyperparameters round-trip through dir names and config mean/std
+    paths, and test_prevae.py:549-555 silently rebuilds VAEs without
+    data_mean/std, evaluating a datanorm-trained model un-normalized."""
+    if datanorm is None:
+        return None
+    return {"mean": np.asarray(datanorm[0]).tolist(),
+            "std": np.asarray(datanorm[1]).tolist()}
+
+
+def datanorm_from_meta(meta: dict):
+    """Inverse of datanorm_to_meta; tolerates pre-datanorm metas."""
+    dn = meta.get("datanorm")
+    if not dn:
+        return None
+    return (np.asarray(dn["mean"], np.float32),
+            np.asarray(dn["std"], np.float32))

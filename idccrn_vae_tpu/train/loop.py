@@ -61,6 +61,12 @@ def run_training(
         t0 = time.time()
         acc = MetricAccumulator()
         erng = jax.random.fold_in(rng, 2 * epoch)
+        # pin data order to the GLOBAL epoch so resume reproduces the
+        # uninterrupted run's shuffles (same guarantee as the rng
+        # fold_in above; plain iterables without set_epoch still work)
+        for ldr in (train_loader, val_loader):
+            if hasattr(ldr, "set_epoch"):
+                ldr.set_epoch(epoch)
         for batch in train_loader:
             bs = (batch[0] if isinstance(batch, tuple) else batch).shape[0]
             erng, sub = jax.random.split(erng)

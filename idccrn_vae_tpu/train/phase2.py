@@ -27,7 +27,7 @@ import optax
 from idccrn_vae_tpu.losses.phase2 import AdversarialPhase2Loss, TwoPhaseLoss
 from idccrn_vae_tpu.models.config import DccrnConfig
 from idccrn_vae_tpu.models.discriminator import Discriminator
-from idccrn_vae_tpu.models.nsvae import NsvaeEncoder
+from idccrn_vae_tpu.models.nsvae import NsvaeEncoder, split_noisy_skips
 from idccrn_vae_tpu.models.vae import VaeDecoder
 from idccrn_vae_tpu.ops.stft import stft
 from idccrn_vae_tpu.parallel.mesh import make_mesh, replicate, shard_batch
@@ -125,10 +125,14 @@ class Phase2Trainer:
         enc_vars = {"params": models["encoder"]["params"],
                     "stats": models["encoder"]["stats"]}
         out, _ = self.encoder.apply(enc_vars, noisy, train=False, rng=rng)
+        # double/adapt noisy encoders emit doubled skip channels; the
+        # pretrained-geometry decoders consume the speech (resp. noise)
+        # half — same split as eval/enhance.py's serving path.
+        skips_speech = split_noisy_skips(out.skips, self.enc_cfg, "speech")
         dec_vars = {"params": tparams["decoder"],
                     "stats": models["decoder"]["stats"]}
         (recon_c, pred_c), dstats = self.decoder.apply(
-            dec_vars, out.stft_x, out.z_speech, out.skips, train=train,
+            dec_vars, out.stft_x, out.z_speech, skips_speech, train=train,
             pad_mode="sig",
         )
         ns = self.dec_cfg.num_samples
@@ -141,8 +145,9 @@ class Phase2Trainer:
             nd_vars = {"params": tparams["noise_decoder"],
                        "stats": models["noise_decoder"]["stats"]}
             (recon_n, pred_n), nstats = self.noise_decoder.apply(
-                nd_vars, out.stft_x, out.z_noise, out.skips, train=train,
-                pad_mode="sig",
+                nd_vars, out.stft_x, out.z_noise,
+                split_noisy_skips(out.skips, self.enc_cfg, "noise"),
+                train=train, pad_mode="sig",
             )
             noise_spec_t = tile_samples(
                 stft(noise, s.n_fft, s.hop, s.win_length), ns)

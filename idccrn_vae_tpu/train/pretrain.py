@@ -21,7 +21,10 @@ from idccrn_vae_tpu.losses.vae_loss import PretrainVaeLoss
 from idccrn_vae_tpu.models.config import DccrnConfig
 from idccrn_vae_tpu.models.vae import VaeDecoder, VaeEncoder
 from idccrn_vae_tpu.parallel.mesh import make_mesh, replicate, shard_batch
-from idccrn_vae_tpu.train.checkpoint import CheckpointManager
+from idccrn_vae_tpu.train.checkpoint import (
+    CheckpointManager,
+    datanorm_to_meta,
+)
 from idccrn_vae_tpu.train.loop import run_training
 from idccrn_vae_tpu.train.optim import PlateauScheduler, make_adam
 from idccrn_vae_tpu.utils.logger import get_logger
@@ -46,6 +49,7 @@ class PretrainTrainer:
         self.cfg = cfg
         self.loss = loss
         self.mesh = mesh if mesh is not None else make_mesh(1)
+        self.datanorm = datanorm  # kept host-side for meta.json
         dn = None
         if datanorm is not None:
             dn = (jnp.asarray(datanorm[0]), jnp.asarray(datanorm[1]))
@@ -179,6 +183,10 @@ class PretrainTrainer:
             ckpt.save_meta({
                 "model_name": model_name,
                 "config": asdict(self.cfg),
+                # persisted so eval/export rebuild the SAME forward;
+                # the reference silently drops datanorm at VAE eval
+                # (test_prevae.py:549-555 passes no data_mean/std)
+                "datanorm": datanorm_to_meta(self.datanorm),
                 "epoch": epoch,
                 "best_val": best,
                 "patience": pat,

@@ -19,7 +19,10 @@ from idccrn_vae_tpu.losses.phase2 import EteTrainSeLoss
 from idccrn_vae_tpu.models.config import DccrnConfig
 from idccrn_vae_tpu.models.dccrn import SupervisedDccrn
 from idccrn_vae_tpu.parallel.mesh import make_mesh, replicate, shard_batch
-from idccrn_vae_tpu.train.checkpoint import CheckpointManager
+from idccrn_vae_tpu.train.checkpoint import (
+    CheckpointManager,
+    datanorm_to_meta,
+)
 from idccrn_vae_tpu.train.loop import run_training
 from idccrn_vae_tpu.train.optim import PlateauScheduler, make_adam
 from idccrn_vae_tpu.utils.logger import get_logger
@@ -39,6 +42,7 @@ class SupervisedTrainer:
         self.cfg = cfg
         self.loss = loss
         self.mesh = mesh if mesh is not None else make_mesh(1)
+        self.datanorm = datanorm  # kept host-side for meta.json
         dn = None
         if datanorm is not None:
             dn = (jnp.asarray(datanorm[0]), jnp.asarray(datanorm[1]))
@@ -122,6 +126,9 @@ class SupervisedTrainer:
             ckpt.save_state(state)
             ckpt.save_meta({
                 "model_name": model_name, "config": asdict(self.cfg),
+                # reference equivalent: the 'datanorm=' dir-name flag +
+                # config mean_file (supervised_dccrn/test.py:404-413)
+                "datanorm": datanorm_to_meta(self.datanorm),
                 "epoch": epoch, "best_val": best, "patience": pat,
                 "sched": self.sched.state_dict(),
             })

@@ -163,3 +163,28 @@ def test_spec_features():
     assert lp.shape == (257, 17) and mg.shape == (257, 17)
     assert cx.shape == (257, 17, 2)
     assert np.isfinite(lp).all()
+
+
+def test_datanorm_meta_round_trip():
+    """datanorm persists through meta.json (the reference re-parses dir
+    names + config paths; test_prevae silently drops it entirely)."""
+    import json
+
+    import numpy as np
+
+    from idccrn_vae_tpu.train.checkpoint import (
+        datanorm_from_meta,
+        datanorm_to_meta,
+    )
+
+    mean = np.random.default_rng(0).standard_normal((257, 2)).astype(
+        np.float32)
+    std = np.abs(np.random.default_rng(1).standard_normal((257, 2))).astype(
+        np.float32)
+    meta = json.loads(json.dumps({"datanorm": datanorm_to_meta((mean, std))}))
+    m2, s2 = datanorm_from_meta(meta)
+    np.testing.assert_allclose(m2, mean, rtol=1e-6)
+    np.testing.assert_allclose(s2, std, rtol=1e-6)
+    assert datanorm_to_meta(None) is None
+    assert datanorm_from_meta({"datanorm": None}) is None
+    assert datanorm_from_meta({}) is None  # pre-datanorm metas

@@ -173,3 +173,40 @@ def test_batch_loader_propagates_worker_errors():
     with pytest.raises(ValueError, match="corrupt sample"):
         for _ in loader:
             pass
+
+
+def test_rmse_zero_estimate_finite():
+    """A fully suppressed (all-zero) estimate must not produce a 0/0
+    NaN that aborts the whole eval summary."""
+    from idccrn_vae_tpu.eval.metrics import compute_rmse
+
+    ref = np.sin(np.arange(1600) / 10).astype(np.float32)
+    val = compute_rmse(np.zeros_like(ref), ref)
+    assert np.isfinite(val)
+
+
+def test_loader_set_epoch_reproducible():
+    """A resumed run must draw epoch-k's shuffle order, not epoch 0's:
+    set_epoch pins the order regardless of process-local history."""
+
+    class Ix:
+        def __len__(self):
+            return 12
+
+        def __getitem__(self, i):
+            return np.asarray([i], np.float32)
+
+    def order(loader):
+        return [int(b[0][0]) for b in loader]
+
+    fresh = BatchLoader(Ix(), batch_size=1, shuffle=True, num_threads=1)
+    fresh.set_epoch(3)
+    o3 = order(fresh)
+
+    resumed = BatchLoader(Ix(), batch_size=1, shuffle=True, num_threads=1)
+    for e in range(4):
+        resumed.set_epoch(e)
+        oe = order(resumed)
+    assert oe == o3
+    resumed.set_epoch(0)
+    assert order(resumed) != o3  # epochs genuinely differ

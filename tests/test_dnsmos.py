@@ -170,3 +170,14 @@ def test_audio_melspec_numeric_goldens():
     raw = audio_melspec(sig, to_db=False)
     assert float(raw.sum()) == pytest.approx(9872.28417969, rel=1e-6)
     assert float(raw[10, 20]) == pytest.approx(0.4651077986, rel=1e-6)
+
+
+def test_empty_audio_raises_not_hangs():
+    """np.append(empty, empty) never grows — score_array must reject
+    zero-length audio instead of looping forever."""
+    from idccrn_vae_tpu.eval.dnsmos import ComputeScore, default_model_paths
+
+    primary, p808 = default_model_paths()
+    scorer = ComputeScore(primary, p808)
+    with pytest.raises(ValueError, match="empty audio"):
+        scorer.score_array(np.zeros(0, np.float32), 16000)

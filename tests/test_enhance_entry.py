@@ -155,3 +155,24 @@ def test_latent_diag_and_mesh():
     assert speech[0].shape[-1] == 2  # (T, zdim, 2)
     out = e.enhance_utterances(wavs, batch_size=2)
     assert len(out) == 2
+
+
+def test_mesh_partial_batch_and_latent_trim():
+    """(1) A final chunk smaller than the mesh pads with zero rows and
+    trims them back (NamedSharding needs batch % mesh == 0); (2)
+    encode_latents trims each mu to the utterance's real frame count so
+    padded-silence frames can't bias the diagnostics."""
+    from idccrn_vae_tpu.parallel.mesh import make_mesh
+
+    e = _enhancer(latent_num=1)
+    e.mesh = make_mesh(2)
+    hop = e.enc_cfg.stft.hop
+    rng = np.random.default_rng(3)
+    # 3 utterances, batch_size 2 -> final chunk of 1 row on a 2-mesh
+    wavs = [rng.standard_normal(n).astype(np.float32) * 0.1
+            for n in (900, 1500, 2100)]
+    out = e.enhance_utterances(wavs, batch_size=2)
+    assert [len(o) for o in out] == [len(w) for w in wavs]
+    speech, _ = e.encode_latents(wavs, batch_size=2)
+    assert sorted(m.shape[0] for m in speech) == sorted(
+        n // hop + 1 for n in (900, 1500, 2100))

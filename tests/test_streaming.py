@@ -130,3 +130,50 @@ def test_streaming_supervised_matches_offline():
     a = out_stream[:, delay:]
     b = np.asarray(out_offline)[:, : a.shape[1]]
     np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-3)
+
+
+def test_streaming_double_channel():
+    """double/adapt NSVAE checkpoints stream: the doubled skip channels
+    are half-split to the pretrained-geometry decoder (previously a
+    concat/conv shape crash). Chunk-size invariance doubles as the
+    state-carry correctness check."""
+    enc_cfg = dataclasses.replace(CFG, latent_num=2, channel_mode="double")
+    enc_vars = NsvaeEncoder(enc_cfg).init(jax.random.PRNGKey(3))
+    dec_vars = VaeDecoder(CFG).init(jax.random.PRNGKey(4))
+    wav = _wav(2400, seed=5)
+    small = StreamingEnhancer(enc_cfg, CFG, enc_vars, dec_vars,
+                              chunk_frames=8)
+    big = StreamingEnhancer(enc_cfg, CFG, enc_vars, dec_vars,
+                            chunk_frames=24)
+    out_small = small.stream(wav)
+    out_big = big.stream(wav)
+    assert out_small.shape == (B, 2400)
+    assert np.isfinite(out_small).all()
+    np.testing.assert_allclose(out_small, out_big, atol=1e-4, rtol=1e-3)
+
+
+def test_streaming_supervised_datanorm_matches_offline():
+    """A datanorm-trained supervised checkpoint must stream through the
+    SAME normalize/denormalize as the offline forward (previously the
+    streaming engine silently dropped datanorm)."""
+    from idccrn_vae_tpu.models.dccrn import SupervisedDccrn
+
+    cfg = dataclasses.replace(CFG, lstm_hidden=4)
+    f = cfg.stft.freq_bins
+    rng = np.random.default_rng(8)
+    dn = (rng.standard_normal((f, 2)).astype(np.float32) * 0.01,
+          (1.0 + 0.1 * rng.standard_normal((f, 2))).astype(np.float32))
+    model = SupervisedDccrn(cfg, (jnp.asarray(dn[0]), jnp.asarray(dn[1])))
+    v = model.init(jax.random.PRNGKey(5))
+    wav = _wav(3000, zero_head=True, seed=9)
+    streamer = StreamingEnhancer(cfg, cfg, v, v, chunk_frames=10,
+                                 model="supervised", datanorm=dn)
+    out_stream = streamer.stream(wav)
+    shift = (cfg.stft.n_fft - cfg.stft.hop) - cfg.stft.n_fft // 2
+    wav_shifted = np.pad(wav, ((0, 0), (shift, 0)))
+    (out_offline, _), _ = model.apply(v, jnp.asarray(wav_shifted),
+                                      train=False)
+    delay = cfg.stft.n_fft // 2
+    a = out_stream[:, delay:]
+    b = np.asarray(out_offline)[:, : a.shape[1]]
+    np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-3)

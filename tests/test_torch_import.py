@@ -361,3 +361,31 @@ def test_convert_torch_cli(tmp_path):
                       jnp.float32) * 0.1
     (out_wav, _), _ = model2.apply(variables, wav, train=False)
     assert np.isfinite(np.asarray(out_wav)).all()
+
+
+def test_convert_nsvae_meta_pre_config(tmp_path, monkeypatch):
+    """The NSVAE-encoder conversion must stamp pre_config with the
+    PRETRAIN geometry (latent_num=1, nominal channels) — phase-1
+    serving builds the pretrained decoder from it, and stamping the
+    noisy double/dual-latent config there mismatches the decoder
+    weights."""
+    import json
+
+    from idccrn_vae_tpu.cli import convert_torch
+    from idccrn_vae_tpu.models import torch_import as ti
+
+    monkeypatch.setattr(ti, "load_state_dict", lambda p: {})
+    monkeypatch.setattr(ti, "import_nsvae_encoder",
+                        lambda sd, cfg: {"params": {}, "stats": {}})
+    out = str(tmp_path / "converted")
+    convert_torch.main([
+        "--kind", "nsvae_encoder", "--encoder", "enc.pt", "--out", out,
+        "--zdim", "4", "--nsvae_model", "double", "--latent_num", "2",
+        "--causal",
+    ])
+    with open(f"{out}/meta.json") as f:
+        meta = json.load(f)
+    assert meta["noisy_config"]["latent_num"] == 2
+    assert meta["noisy_config"]["channel_mode"] == "double"
+    assert meta["pre_config"]["latent_num"] == 1
+    assert meta["pre_config"]["channel_mode"] == "normal"

@@ -162,3 +162,21 @@ def test_nsvae_unfreeze_clean_encoder():
     n0 = jax.tree.leaves(state["models"]["noise_enc"]["params"])[0]
     n1 = jax.tree.leaves(s1["models"]["noise_enc"]["params"])[0]
     np.testing.assert_array_equal(np.asarray(n0), np.asarray(n1))
+
+
+def test_phase2_double_channel_step():
+    """Phase-2 fine-tune on a double-channel NSVAE checkpoint: the
+    doubled noisy skips half-split into the pretrained-geometry clean
+    and noise decoders (previously a concat/conv shape crash)."""
+    from idccrn_vae_tpu.losses.phase2 import TwoPhaseLoss
+
+    enc_cfg = dataclasses.replace(TINY, latent_num=2,
+                                  channel_mode="double")
+    dec_cfg = dataclasses.replace(TINY, latent_num=2, skip_mode="runtime",
+                                  recon_type="mask")
+    loss = TwoPhaseLoss((1.0, 1.0, 0.0), alpha=1.0, latent_num=2)
+    tr = Phase2Trainer(enc_cfg, dec_cfg, loss, 1e-3)
+    state = tr.init_state()
+    batch = (_wav(20), _wav(21), _wav(22))
+    s1, m1 = tr.train_step(state, batch, jax.random.PRNGKey(0), 0)
+    assert np.isfinite(m1["total"])
