@@ -42,8 +42,14 @@ def find_wavs(path: str, suffix: str = "wav") -> List[str]:
 
 
 def companion_paths(noisy_path: str, clean_dir: str, noise_dir: str):
-    """Locate the clean/noise files for a DNS-style noisy filename."""
+    """Locate the clean/noise files for a DNS-style noisy filename
+    ('*_fileid_<id>.wav', dataload_nsvae.py:177-192)."""
     base = os.path.basename(noisy_path)
+    if "_fileid_" not in base:
+        raise ValueError(
+            f"{base!r} does not follow the DNS '*_fileid_<id>' naming "
+            "convention, so its clean/noise companions cannot be "
+            "located; rename the corpus or use same-basename pairing")
     file_id = base.split("_fileid_")[-1]
     return (
         os.path.join(clean_dir, f"clean_fileid_{file_id}"),
@@ -64,10 +70,27 @@ def build_segment_index(
 ) -> List[Tuple[str, int, int]]:
     """List of (wavfile, start, end) windows of (sequence_len-1)*hop
     samples, mirroring SpeechSequencesFull.compute_len
-    (dataload_pretrained_vaes.py:123-161)."""
+    (dataload_pretrained_vaes.py:123-161).
+
+    The cache is validated against (file list, sequence_len, hop, trim):
+    the reference's pkl cache is keyed only by the first_use flag, so
+    changing the window geometry or corpus silently reused a stale
+    index — here a mismatch rebuilds instead."""
+    import hashlib
+
+    cache_key = {
+        "files": hashlib.sha1(
+            "\n".join(sorted(file_list)).encode()).hexdigest(),
+        "sequence_len": int(sequence_len),
+        "hop": int(hop),
+        "trim": bool(trim),
+    }
     if use_cache and cache_path and os.path.exists(cache_path):
         with open(cache_path) as f:
-            return [tuple(e) for e in json.load(f)]
+            cached = json.load(f)
+        if isinstance(cached, dict) and cached.get("key") == cache_key:
+            return [tuple(e) for e in cached["index"]]
+        # legacy bare-list caches carry no key -> also rebuilt
 
     seg_samples = (sequence_len - 1) * hop
     index: List[Tuple[str, int, int]] = []
@@ -92,7 +115,7 @@ def build_segment_index(
     if cache_path:
         os.makedirs(os.path.dirname(cache_path) or ".", exist_ok=True)
         with open(cache_path, "w") as f:
-            json.dump(index, f)
+            json.dump({"key": cache_key, "index": index}, f)
     return index
 
 

@@ -33,8 +33,13 @@ from idccrn_vae_tpu.ops.conv import (
 
 
 def prelu(x: jnp.ndarray, alpha: jnp.ndarray) -> jnp.ndarray:
-    """Single-shared-alpha PReLU (torch nn.PReLU() default)."""
-    return jnp.where(x >= 0, x, alpha * x)
+    """Single-shared-alpha PReLU (torch nn.PReLU() default).
+
+    alpha is cast to x's dtype: the f32 parameter would otherwise
+    promote every bf16 stage output (and all skip maps) to f32 through
+    jnp.where, doubling the HBM traffic the bf16 path exists to halve
+    (ops/conv.py keeps activations bf16 between stages by design)."""
+    return jnp.where(x >= 0, x, alpha.astype(x.dtype) * x)
 
 
 # ---------------------------------------------------------------------------

@@ -136,7 +136,7 @@ def init_complex_lstm(key, input_size: int, hidden_size: int, num_layers: int,
     }
 
 
-def _pallas_ok(hidden: int, backend: str) -> bool:
+def _pallas_ok(backend: str) -> bool:
     if backend == "scan":
         return False
     from idccrn_vae_tpu.ops.pallas.lstm_kernel import pallas_lstm_available
@@ -187,7 +187,7 @@ def complex_lstm(x: jnp.ndarray, params: dict, unroll: int = 4,
         raise ValueError(
             "backend='pallas' does not support carried LSTM state "
             "(state=/return_state=); use backend='scan'")
-    if _pallas_ok(hidden, backend):
+    if _pallas_ok(backend):
         from idccrn_vae_tpu.ops.pallas.lstm_kernel import stacked_lstm_layer
 
         cur = jnp.broadcast_to(xin[None], (2,) + xin.shape)  # (2, 2B, T, In)

@@ -135,7 +135,10 @@ def istft(
 
     sig = sig[:, pad : pad + length]
     env = env[pad : pad + length]
-    out = sig / env
+    # positions past the last frame's windowed span have env == 0 (and
+    # sig == 0); the clamp yields torch.istft-compatible zeros there
+    # instead of 0/0 NaNs when length exceeds the OLA coverage
+    out = sig / jnp.maximum(env, 1e-11)
     if squeeze:
         out = out[0]
     return out

@@ -210,3 +210,34 @@ def test_loader_set_epoch_reproducible():
     assert oe == o3
     resumed.set_epoch(0)
     assert order(resumed) != o3  # epochs genuinely differ
+
+
+def test_segment_cache_invalidated_on_geometry_change(wav_dir, tmp_path):
+    """The cache must NOT be reused when sequence_len/hop/corpus change
+    (the reference's pkl cache, keyed only by first_use, silently
+    trained on stale windows)."""
+    files = sorted(str(wav_dir / f) for f in os.listdir(wav_dir))
+    cache = str(tmp_path / "c.json")
+    idx = build_segment_index(files, 81, 100, FS, trim=False,
+                              shuffle=False, cache_path=cache)
+    # same geometry -> cache hit
+    assert build_segment_index(files, 81, 100, FS, trim=False,
+                               shuffle=False, cache_path=cache,
+                               use_cache=True) == idx
+    # different sequence_len -> rebuilt, different windows
+    idx2 = build_segment_index(files, 41, 100, FS, trim=False,
+                               shuffle=False, cache_path=cache,
+                               use_cache=True)
+    assert idx2 != idx and idx2[0][2] - idx2[0][1] == 4000
+    # corpus shrinks -> rebuilt again
+    idx3 = build_segment_index(files[:1], 41, 100, FS, trim=False,
+                               shuffle=False, cache_path=cache,
+                               use_cache=True)
+    assert {e[0] for e in idx3} == {files[0]}
+
+
+def test_companion_paths_rejects_nonconforming_name():
+    import pytest
+
+    with pytest.raises(ValueError, match="fileid"):
+        companion_paths("/d/noisy/noisy_001.wav", "/d/clean", "/d/noise")

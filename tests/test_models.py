@@ -150,3 +150,23 @@ def test_forward_determinism():
     out1, _ = enc.apply(ev, wav, train=False, rng=jax.random.PRNGKey(3))
     out2, _ = enc.apply(ev, wav, train=False, rng=jax.random.PRNGKey(3))
     np.testing.assert_array_equal(np.asarray(out1.z), np.asarray(out2.z))
+
+
+def test_bf16_activations_stay_bf16():
+    """compute='bf16' must keep stage outputs and skips bf16 end to end
+    — the f32 PReLU alpha used to promote everything back to f32,
+    doubling activation HBM traffic (the bf16 path's whole point)."""
+    import dataclasses as _dc
+
+    from idccrn_vae_tpu.models.nsvae import NsvaeEncoder
+
+    cfg = _dc.replace(TINY, compute="bf16")
+    enc = NsvaeEncoder(cfg)
+    v = enc.init(jax.random.PRNGKey(0))
+    wav = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 1600)), jnp.float32
+    ) * 0.1
+    out, _ = enc.apply(v, wav, train=False, rng=jax.random.PRNGKey(1),
+                       num_samples=1)
+    assert all(s.dtype == jnp.bfloat16 for s in out.skips), \
+        [str(s.dtype) for s in out.skips]

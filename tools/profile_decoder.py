@@ -41,7 +41,9 @@ PEAK_BF16 = 197e12  # v5e MXU peak
 def _time_fn(fn, *args):
     fn = jax.jit(fn)
     out = fn(*args)
-    jax.block_until_ready(out)
+    # scalar fetch, NOT block_until_ready: the tunnel's barrier can
+    # return early and leak warm-up compute into the timed window
+    _ = float(jnp.asarray(out).ravel()[0])
     t0 = time.perf_counter()
     out = fn(*args)
     _ = float(jnp.asarray(out).ravel()[0])

@@ -63,7 +63,9 @@ def _time_steps(trainer, state, batch, label):
     try:
         for i in range(2):  # compile + settle
             state, m = trainer.train_step(state, batch, rng, 0)
-        jax.block_until_ready(m["total"])
+        # scalar fetch, NOT block_until_ready: the tunnel's barrier can
+        # return early and leak warm-up compute into the timed window
+        _ = float(m["total"])
         t0 = time.perf_counter()
         for i in range(STEPS):
             state, m = trainer.train_step(state, batch, rng, 0)
