@@ -24,6 +24,14 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# The demo runs at tiny geometry, where CPU compiles in seconds; force
+# it (env vars don't beat this image's sitecustomize TPU plugin, and
+# tiny shapes can tickle TPU-compile corner cases not worth debugging
+# for a demo).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 from idccrn_vae_tpu.data.audio_io import write_wav  # noqa: E402
 
 FS = 16000

@@ -248,6 +248,13 @@ def run_vae_reconstruction_eval(
         plot_cov_diagonals(diag, os.path.join(out_dir, "cov_mu_diag.png"))
     with open(os.path.join(out_dir, "per_utterance.json"), "w") as f:
         json.dump(per_utt, f, indent=1)
+    with open(os.path.join(out_dir, "summary.json"), "w") as f:
+        json.dump({"summary": summary,
+                   "latent_diag": {k: (v.tolist() if hasattr(v, "tolist")
+                                       else v)
+                                   for k, v in diag.items()
+                                   if not k.startswith("cov_")}},
+                  f, indent=1)
     if write_wavs:
         wav_dir = os.path.join(out_dir, "recon")
         os.makedirs(wav_dir, exist_ok=True)
@@ -324,6 +331,9 @@ def run_supervised_eval(model, variables, noisy_paths, clean_paths, out_dir,
                                  if not k.startswith("cov_")}
     with open(os.path.join(out_dir, "per_utterance.json"), "w") as f:
         json.dump(per_utt, f, indent=1)
+    with open(os.path.join(out_dir, "summary.json"), "w") as f:
+        json.dump({k: v for k, v in result.items()
+                   if k != "per_utterance"}, f, indent=1)
     if write_wavs:
         wav_dir = os.path.join(out_dir, "enhanced")
         os.makedirs(wav_dir, exist_ok=True)

@@ -44,6 +44,10 @@ def test_checkpoint_roundtrip(tmp_path):
     ckpt.save_state(state)
     ckpt.save_meta({"epoch": 3, "best_val": 1.5, "patience": 2})
     restored = ckpt.load_state(like=jax.tree.map(np.asarray, state))
+    # structure equality first: a truncated restore must not slip
+    # through the leaf zip below
+    assert (jax.tree.structure(state)
+            == jax.tree.structure(restored))
     for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
     meta = ckpt.load_meta()

@@ -141,8 +141,8 @@ def test_supervised_cli(corpus, monkeypatch):
     test_main(["--model_dir", mdir, "--noisy_dir", dirs["noisy_val"],
                "--clean_dir", dirs["clean_val"], "--out_dir", out_dir,
                "--batch_size", "2", "--write_wavs"])
-    assert os.path.exists(os.path.join(out_dir, "summary.json")) or \
-        os.path.exists(os.path.join(out_dir, "per_utterance.json"))
+    assert os.path.exists(os.path.join(out_dir, "summary.json"))
+    assert os.path.exists(os.path.join(out_dir, "per_utterance.json"))
     enhanced = os.path.join(out_dir, "enhanced")
     assert sorted(os.listdir(enhanced)) == sorted(os.listdir(dirs["noisy_val"]))
 

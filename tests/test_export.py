@@ -9,6 +9,7 @@ import numpy as np
 import jax
 
 from idccrn_vae_tpu.models.config import DccrnConfig
+from tests.test_cli import corpus  # noqa: F401  (pytest fixture)
 
 TINY = dict(encoder_channels=(1, 2, 2, 4, 4, 4, 4), zdim=4,
             num_samples=1, latent_num=1, causal=True)
@@ -116,34 +117,13 @@ def test_streaming_export_round_trip(tmp_path):
     np.testing.assert_array_equal(got, ref)  # bit-exact
 
 
-def test_export_model_cli(tmp_path, monkeypatch):
+def test_export_model_cli(corpus, monkeypatch):  # noqa: F811
+    from idccrn_vae_tpu.data.audio_io import write_wav
     from tests.test_cli import TINY_FLAGS, _latest_model_dir, _write_ini
 
-    # build a minimal supervised checkpoint
+    # minimal supervised checkpoint on the shared corpus fixture
     rng = np.random.default_rng(0)
-    dirs = {}
-    from idccrn_vae_tpu.data.audio_io import write_wav
-
-    for name in ("clean_train", "clean_val", "noise_train", "noise_val",
-                 "noisy_train", "noisy_val"):
-        d = tmp_path / name
-        d.mkdir()
-        dirs[name] = str(d)
-    for i in range(3):
-        t = np.arange(4000) / 16000
-        clean = 0.3 * np.sin(2 * np.pi * (200 + 50 * i) * t)
-        noisy = clean + 0.1 * rng.standard_normal(4000)
-        for split in ("train", "val"):
-            write_wav(os.path.join(dirs[f"clean_{split}"],
-                                   f"clean_fileid_{i}.wav"),
-                      clean.astype(np.float32), 16000)
-            write_wav(os.path.join(dirs[f"noisy_{split}"],
-                                   f"noisy_fileid_{i}.wav"),
-                      noisy.astype(np.float32), 16000)
-            write_wav(os.path.join(dirs[f"noise_{split}"],
-                                   f"noise_fileid_{i}.wav"),
-                      (0.1 * rng.standard_normal(4000)).astype(np.float32),
-                      16000)
+    tmp_path, dirs = corpus
     monkeypatch.chdir(tmp_path)
     ini = _write_ini(tmp_path, dirs, name="exp")
     from idccrn_vae_tpu.cli.train_supervised import main as train_main

@@ -1,5 +1,7 @@
 """Shape/flow tests for the model zoo on a tiny geometry."""
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -37,7 +39,7 @@ def test_freq_plan():
 
 @pytest.mark.parametrize("latent", ["sliced", "fc"])
 def test_vae_encoder_decoder_roundtrip(latent):
-    cfg = TINY.__class__(**{**TINY.__dict__, "latent": latent})
+    cfg = dataclasses.replace(TINY, latent=latent)
     enc = VaeEncoder(cfg)
     dec = VaeDecoder(cfg)
     key = jax.random.PRNGKey(0)
@@ -57,7 +59,7 @@ def test_vae_encoder_decoder_roundtrip(latent):
 
 
 def test_vae_noncausal_time_alignment():
-    cfg = TINY.__class__(**{**TINY.__dict__, "causal": False})
+    cfg = dataclasses.replace(TINY, causal=False)
     enc, dec = VaeEncoder(cfg), VaeDecoder(cfg)
     ev = enc.init(jax.random.PRNGKey(0))
     dv = dec.init(jax.random.PRNGKey(1))
@@ -75,8 +77,8 @@ def test_vae_noncausal_time_alignment():
     ("normal", 1), ("normal", 2), ("double", 2), ("adapt", 2),
 ])
 def test_nsvae_encoder(mode, latent_num):
-    cfg = TINY.__class__(**{**TINY.__dict__, "channel_mode": mode,
-                            "latent_num": latent_num})
+    cfg = dataclasses.replace(TINY, channel_mode=mode,
+                              latent_num=latent_num)
     enc = NsvaeEncoder(cfg)
     v = enc.init(jax.random.PRNGKey(0))
     wav = jax.random.normal(jax.random.PRNGKey(1), (B, L))
@@ -95,7 +97,7 @@ def test_nsvae_encoder(mode, latent_num):
 
 def test_supervised_dccrn():
     for recon_type in ("mask", "real_imag"):
-        cfg = TINY.__class__(**{**TINY.__dict__, "recon_type": recon_type})
+        cfg = dataclasses.replace(TINY, recon_type=recon_type)
         model = SupervisedDccrn(cfg)
         v = model.init(jax.random.PRNGKey(0))
         wav = jax.random.normal(jax.random.PRNGKey(1), (B, L))
@@ -115,7 +117,7 @@ def test_discriminator():
 
 def test_skip_modes_zero_and_none():
     for mode in ("zero", "none", "runtime"):
-        cfg = TINY.__class__(**{**TINY.__dict__, "skip_mode": mode})
+        cfg = dataclasses.replace(TINY, skip_mode=mode)
         enc, dec = VaeEncoder(cfg), VaeDecoder(cfg)
         ev = enc.init(jax.random.PRNGKey(0))
         dv = dec.init(jax.random.PRNGKey(1))

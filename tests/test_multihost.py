@@ -93,10 +93,21 @@ def _spawn_workers(tmp_path, script):
                 [sys.executable, str(script), str(pid), str(port), out],
                 env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
         logs = []
+        hung = False
         for p in procs:
-            stdout, _ = p.communicate(timeout=900)
-            logs.append(stdout.decode()[-3000:])
-        if all(p.returncode == 0 for p in procs):
+            try:
+                stdout, _ = p.communicate(timeout=900)
+                logs.append(stdout.decode()[-3000:])
+            except subprocess.TimeoutExpired:
+                # a hang-type rendezvous flake: kill BOTH workers (an
+                # orphan would contend with every later test) and
+                # count it as retryable like any other failure
+                hung = True
+                for q in procs:
+                    q.kill()
+                stdout, _ = p.communicate()
+                logs.append("<hung 900s>\n" + stdout.decode()[-3000:])
+        if not hung and all(p.returncode == 0 for p in procs):
             return outs
         last = "\n".join(logs)
     raise AssertionError(last)

@@ -33,6 +33,7 @@ def _wavs(n, seed=0, count=1):
 
 
 def _assert_tree_close(a, b, atol=2e-4, rtol=2e-3):
+    assert jax.tree.structure(a) == jax.tree.structure(b)
     for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                    atol=atol, rtol=rtol)

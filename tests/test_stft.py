@@ -78,13 +78,10 @@ def test_window_matches_torch():
 def test_istft_length_beyond_coverage_yields_zeros():
     """length past the OLA envelope span must give torch-compatible
     zeros, not 0/0 NaNs (env == 0 there)."""
-    import jax
-
     from idccrn_vae_tpu.ops.stft import istft, stft
 
     x = np.random.default_rng(0).standard_normal(2000).astype(np.float32)
     spec = stft(x, 512, 100, 400)
-    t = spec.shape[1] if spec.ndim == 3 else spec.shape[2]
     out = np.asarray(istft(spec, 512, 100, 400, length=2600))
     assert out.shape[-1] == 2600
     assert np.isfinite(out).all()

@@ -27,13 +27,11 @@ from idccrn_vae_tpu.models.torch_import import (
 EPS = 1e-5
 
 TINY = DccrnConfig(
-    encoder_channels=(1, 3, 5),
+    encoder_channels=(1, 3, 5),  # 2 stages; freq plan stays valid for kernel 5
     zdim=2,
     num_samples=1,
     causal=False,
 )
-# adjust: only 2 stages; freq plan must stay valid for kernel 5
-TINY = dataclasses.replace(TINY, encoder_channels=(1, 3, 5))
 
 
 def _mk_state_dict(cfg, seed=0):

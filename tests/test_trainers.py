@@ -43,9 +43,13 @@ def test_pretrain_step_updates_params():
     p0 = jax.tree.leaves(state["enc"]["params"])[0]
     p1 = jax.tree.leaves(s1["enc"]["params"])[0]
     assert not np.allclose(np.asarray(p0), np.asarray(p1))
-    # BN stats advanced
-    assert int(jax.tree.leaves(
-        s1["enc"]["stats"])[-1].sum()) >= 1 or True
+    # BN stats advanced (running stats / init counters updated in-step)
+    st0 = jax.tree.leaves(state["enc"]["stats"])
+    st1 = jax.tree.leaves(s1["enc"]["stats"])
+    assert any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(st0, st1)
+    ), "BN stats did not advance over a train step"
     # eval doesn't change state
     m_eval = tr.eval_step(s1, _wav(1), jax.random.PRNGKey(1), epoch=0)
     assert np.isfinite(m_eval["total"])
