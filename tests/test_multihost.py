@@ -27,9 +27,13 @@ os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
 os.environ.pop("JAX_PLATFORMS", None)
 import jax
 jax.config.update("jax_platforms", "cpu")
-try:  # share the suite's persistent compile cache (halves cold cost)
+try:
+    # PRIVATE cache dir: the suite-wide cache accumulates CPU AOT
+    # entries compiled on the remote compile service's machine (foreign
+    # target features), which load asymmetrically between the two
+    # workers and skewed them past Gloo's fixed 30 s context deadline.
     jax.config.update("jax_compilation_cache_dir",
-                      "/tmp/jax_cache_idccrn_tests")
+                      "/tmp/jax_cache_idccrn_mh")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 except Exception:
     pass
@@ -39,8 +43,10 @@ dist.initialize(coordinator_address=f"localhost:{port}",
                 num_processes=2, process_id=pid)
 assert jax.device_count() == 8 and jax.local_device_count() == 4
 import numpy as np
+import jax.numpy as jnp
 from idccrn_vae_tpu.losses.vae_loss import PretrainVaeLoss, kl_annealing_schedule
 from idccrn_vae_tpu.models.config import DccrnConfig
+from idccrn_vae_tpu.parallel.mesh import shard_batch
 from idccrn_vae_tpu.train.pretrain import PretrainTrainer
 
 TINY = DccrnConfig(encoder_channels=(1, 2, 2, 4, 4, 4, 4), zdim=4,
@@ -52,7 +58,19 @@ state = tr.init_state()
 wav = (np.random.default_rng(0).standard_normal((8, 1600)) * 0.3
        ).astype(np.float32)
 local = wav[pid * 4 : (pid + 1) * 4]           # process-local shard
-s1, m = tr.train_step(state, local, jax.random.PRNGKey(0), 0)
+
+# AOT-compile BEFORE the first collective executes, then rendezvous on
+# the coordination-service barrier (generous timeout) — compile-time
+# skew between the two workers on this 1-CPU host otherwise blows
+# Gloo's fixed 30 s context-creation deadline.
+wavd = shard_batch(mesh, jnp.asarray(local, jnp.float32))
+kl_w = jnp.asarray(loss.kl_weight_at(0), jnp.float32)
+rng = jax.random.PRNGKey(0)
+compiled = tr._train_step.lower(state, wavd, rng, kl_w,
+                                train=True).compile()
+from jax._src import distributed as _jdist
+_jdist.global_state.client.wait_at_barrier("mh_compiled", 600000)
+s1, m = compiled(state, wavd, rng, kl_w)
 checksum = float(sum(abs(np.asarray(jax.device_get(x))).sum()
                      for x in jax.tree.leaves(s1["enc"]["params"])))
 with open(out_path, "w") as f:
@@ -83,7 +101,9 @@ def _spawn_workers(tmp_path, script):
     env = {k: v for k, v in os.environ.items()}
     env["PYTHONPATH"] = REPO
     last = ""
-    for _attempt in range(3):
+    # a healthy warm run takes ~90 s; 300 s separates "slow" from
+    # "hung" without letting one hung attempt eat the whole budget
+    for _attempt in range(4):
         port = _free_port()
         procs, outs = [], []
         for pid in range(2):
@@ -96,7 +116,7 @@ def _spawn_workers(tmp_path, script):
         hung = False
         for p in procs:
             try:
-                stdout, _ = p.communicate(timeout=900)
+                stdout, _ = p.communicate(timeout=300)
                 logs.append(stdout.decode()[-3000:])
             except subprocess.TimeoutExpired:
                 # a hang-type rendezvous flake: kill BOTH workers (an
@@ -106,7 +126,7 @@ def _spawn_workers(tmp_path, script):
                 for q in procs:
                     q.kill()
                 stdout, _ = p.communicate()
-                logs.append("<hung 900s>\n" + stdout.decode()[-3000:])
+                logs.append("<hung 300s>\n" + stdout.decode()[-3000:])
         if not hung and all(p.returncode == 0 for p in procs):
             return outs
         last = "\n".join(logs)
