@@ -48,6 +48,11 @@ def build_parser():
                    help="shard eval batches over a data mesh")
     p.add_argument("--compute", type=str, default="bf16",
                    choices=["f32", "bf16"])
+    p.add_argument("--sample_chunks", type=int, default=1,
+                   help="decode num_samples in this many sequential "
+                        "chunks — same outputs, peak decoder memory "
+                        "divided by the chunk count (f32 S=10 exceeds "
+                        "one chip's HBM at batch>=16 in one shot)")
     return p
 
 
@@ -69,6 +74,7 @@ def main(argv=None):
         enc_cfg, dec_cfg, enc_vars, dec_vars, noise_dec_vars,
         num_samples=args.num_samples, outtype=args.outtype,
         latent_to_use=args.latent_to_use, pad_mode=pad_mode, mesh=mesh,
+        sample_chunks=args.sample_chunks,
     )
     noisy_paths = find_wavs(args.noisy_dir)
     clean_paths = match_clean_paths(noisy_paths, args.clean_dir)

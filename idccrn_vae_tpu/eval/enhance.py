@@ -96,10 +96,17 @@ class Enhancer:
         pad_mode: str = "sig",
         bucket_frames: int = 100,
         mesh=None,
+        sample_chunks: int = 1,
     ):
         """mesh: optional data-parallel `Mesh` — batches shard over it so
         one eval pass uses every chip (greenfield vs the reference's
         single-GPU batch-1 loop).
+
+        sample_chunks: decode num_samples in this many sequential
+        chunks (lax.map) instead of one B*S batch — same outputs,
+        peak decoder memory divided by sample_chunks. The reference's
+        f32 --num_samples 10 eval exceeds a v5e chip's HBM at B>=16
+        in one shot; chunking makes it fit.
 
         latent_to_use mirrors test_nsvae_se.py:333-412: 1 decodes the
         speech latent only (outtype must be 'clean_direct'); 2 requires
@@ -139,6 +146,11 @@ class Enhancer:
         self.latent_to_use = latent_to_use
         self.pad_mode = pad_mode
         self.bucket_frames = bucket_frames
+        if sample_chunks < 1 or num_samples % sample_chunks:
+            raise ValueError(
+                f"sample_chunks={sample_chunks} must divide "
+                f"num_samples={num_samples}")
+        self.sample_chunks = sample_chunks
         self._fns = {}
 
     # -- the enhancement forward (also exported AOT by eval/export.py) -----
@@ -149,25 +161,72 @@ class Enhancer:
         `eval/export.py::serving_fn_nsvae` exports it with the weights
         baked in."""
         s = self.enc_cfg.stft
+        ns, chunks = self.num_samples, self.sample_chunks
         out, _ = self.encoder.apply(
-            enc_vars, wav, train=False, rng=rng,
-            num_samples=self.num_samples,
+            enc_vars, wav, train=False, rng=rng, num_samples=ns,
         )
         skips = split_noisy_skips(out.skips, self.enc_cfg, "speech")
-        (recon, pred_s), _ = self.decoder.apply(
-            dec_vars, out.stft_x, out.z_speech, skips, train=False,
-            num_samples=self.num_samples, pad_mode=self.pad_mode,
-        )
+
+        if chunks == 1:
+            (recon, pred_s), _ = self.decoder.apply(
+                dec_vars, out.stft_x, out.z_speech, skips, train=False,
+                num_samples=ns, pad_mode=self.pad_mode,
+            )
+            if self.outtype == "clean_direct":
+                return _sample_mean(recon, ns)
+            nskips = split_noisy_skips(out.skips, self.enc_cfg, "noise")
+            (_rn, pred_n), _ = self.noise_decoder.apply(
+                noise_dec_vars, out.stft_x, out.z_noise, nskips,
+                train=False, num_samples=ns, pad_mode=self.pad_mode,
+            )
+            est = combine_outputs(self.outtype, pred_s, pred_n,
+                                  out.stft_x, ns)
+            return istft(est, s.n_fft, s.hop, s.win_length)
+
+        # Sample-chunked decode: lax.map runs `chunks` sequential
+        # decoder passes of sc samples each; per-chunk sample-means are
+        # averaged (equal chunk sizes, so the mean of chunk means IS
+        # the full mean). Peak decoder batch is B*sc instead of B*S.
+        sc = ns // chunks
+        b = wav.shape[0]
+
+        def z_chunk(z, c):
+            # rows are batch-major, sample-minor: (B*S, ...) ->
+            # (B, S, ...) -> slice sc samples -> (B*sc, ...)
+            zb = z.reshape((b, ns) + z.shape[1:])
+            zc = jax.lax.dynamic_slice_in_dim(zb, c * sc, sc, axis=1)
+            return zc.reshape((b * sc,) + z.shape[1:])
+
         if self.outtype == "clean_direct":
-            return _sample_mean(recon, self.num_samples)
+            def decode(c):
+                (recon, _p), _ = self.decoder.apply(
+                    dec_vars, out.stft_x, z_chunk(out.z_speech, c),
+                    skips, train=False, num_samples=sc,
+                    pad_mode=self.pad_mode,
+                )
+                return _sample_mean(recon, sc)
+
+            parts = jax.lax.map(decode, jnp.arange(chunks))
+            return jnp.mean(parts, axis=0)
+
         nskips = split_noisy_skips(out.skips, self.enc_cfg, "noise")
-        (_rn, pred_n), _ = self.noise_decoder.apply(
-            noise_dec_vars, out.stft_x, out.z_noise, nskips,
-            train=False, num_samples=self.num_samples,
-            pad_mode=self.pad_mode,
-        )
-        est = combine_outputs(self.outtype, pred_s, pred_n, out.stft_x,
-                              self.num_samples)
+
+        def decode(c):
+            (_r, pred_s), _ = self.decoder.apply(
+                dec_vars, out.stft_x, z_chunk(out.z_speech, c), skips,
+                train=False, num_samples=sc, pad_mode=self.pad_mode,
+            )
+            (_rn, pred_n), _ = self.noise_decoder.apply(
+                noise_dec_vars, out.stft_x, z_chunk(out.z_noise, c),
+                nskips, train=False, num_samples=sc,
+                pad_mode=self.pad_mode,
+            )
+            return _sample_mean(pred_s, sc), _sample_mean(pred_n, sc)
+
+        s_parts, n_parts = jax.lax.map(decode, jnp.arange(chunks))
+        est = combine_outputs(self.outtype, jnp.mean(s_parts, axis=0),
+                              jnp.mean(n_parts, axis=0), out.stft_x,
+                              num_samples=1)
         return istft(est, s.n_fft, s.hop, s.win_length)
 
     # -- single-bucket jitted program --------------------------------------

@@ -19,7 +19,7 @@ TINY = DccrnConfig(
 
 
 def _enhancer(latent_num=1, outtype="clean_direct", channel_mode="normal",
-              latent_to_use=None):
+              latent_to_use=None, num_samples=2, sample_chunks=1):
     enc_cfg = dataclasses.replace(TINY, latent_num=latent_num,
                                   channel_mode=channel_mode)
     enc = NsvaeEncoder(enc_cfg)
@@ -29,9 +29,9 @@ def _enhancer(latent_num=1, outtype="clean_direct", channel_mode="normal",
     nv = dec.init(jax.random.PRNGKey(2)) if latent_num == 2 else None
     if latent_to_use is None:
         latent_to_use = latent_num
-    return Enhancer(enc_cfg, TINY, ev, dv, nv, num_samples=2,
+    return Enhancer(enc_cfg, TINY, ev, dv, nv, num_samples=num_samples,
                     outtype=outtype, latent_to_use=latent_to_use,
-                    bucket_frames=10)
+                    bucket_frames=10, sample_chunks=sample_chunks)
 
 
 def test_bucket_length():
@@ -176,3 +176,31 @@ def test_mesh_partial_batch_and_latent_trim():
     speech, _ = e.encode_latents(wavs, batch_size=2)
     assert sorted(m.shape[0] for m in speech) == sorted(
         n // hop + 1 for n in (900, 1500, 2100))
+
+
+def test_sample_chunked_decode_matches_unchunked():
+    """sample_chunks decodes S samples in sequential chunks with the
+    SAME outputs — the memory knob must not change the math, for both
+    the clean_direct mean and the mask-combination out-types."""
+    wav = np.random.default_rng(9).standard_normal((2, 2000)).astype(
+        np.float32) * 0.1
+    for outtype, latent_num, kw in (
+            ("clean_direct", 1, {}),
+            ("complex_mask", 2, {"latent_to_use": 2,
+                                 "channel_mode": "double"})):
+        full = _enhancer(latent_num=latent_num, outtype=outtype,
+                         num_samples=4, **kw)
+        chunked = _enhancer(latent_num=latent_num, outtype=outtype,
+                            num_samples=4, sample_chunks=2, **kw)
+        # identical weights: re-init with the same seeds
+        chunked.enc_vars = full.enc_vars
+        chunked.dec_vars = full.dec_vars
+        chunked.noise_dec_vars = full.noise_dec_vars
+        rng = jax.random.PRNGKey(3)
+        np.testing.assert_allclose(
+            full.enhance_batch(wav, rng), chunked.enhance_batch(wav, rng),
+            atol=1e-5, rtol=1e-4)
+    import pytest
+
+    with pytest.raises(ValueError, match="sample_chunks"):
+        _enhancer(latent_num=1, num_samples=4, sample_chunks=3)
