@@ -199,6 +199,25 @@ def stoi(x, y, fs_sig, extended=False):
     return d / len(segs)
 
 
+def pesq_impl() -> str:
+    """Which PESQ backend scores will come from: 'itu' (the `pesq`
+    package, ITU reference C) or 'native' (eval/pesq_native.py)."""
+    return "itu" if _pesq is not None else "native"
+
+
+def stoi_impl() -> str:
+    """Which STOI/ESTOI backend: 'pystoi' or 'native'."""
+    return "pystoi" if _pystoi is not None else "native"
+
+
+def metric_provenance() -> dict:
+    """Implementation tags carried into every eval summary — two runs of
+    the same checkpoint in different images must be distinguishable
+    (native-PESQ numbers are directly comparable to ITU-PESQ only up to
+    the residual deltas documented in eval/pesq_native.py)."""
+    return {"pesq_impl": pesq_impl(), "stoi_impl": stoi_impl()}
+
+
 def pesq_wb(fs, ref, deg) -> float:
     if _pesq is not None:
         try:
@@ -209,10 +228,14 @@ def pesq_wb(fs, ref, deg) -> float:
 
     try:
         return pesq_wb_native(ref, deg, fs)
-    except Exception:
-        # same substitution as the package path above: one degenerate
-        # utterance (e.g. zero-length after trimming) must not abort the
-        # whole eval run (reference: utils/eval_metrics.py:105-110)
+    except ValueError as e:
+        # the one expected refusal: a degenerate (inaudible) reference.
+        # Substitute 0.0 like the reference's package-failure handling
+        # (utils/eval_metrics.py:105-110) but say so — and let any OTHER
+        # exception propagate: a genuine bug in pesq_native must not be
+        # silently averaged into summaries as 0.0 (ADVICE r2).
+        warnings.warn(f"native PESQ refused to score ({e}); "
+                      "substituting 0.0")
         return 0.0
 
 
@@ -221,6 +244,10 @@ class EvalMetrics:
 
     def __init__(self, metric: str = "all"):
         self.metric = metric
+
+    @property
+    def provenance(self) -> dict:
+        return metric_provenance()
 
     def eval(self, x_est, x_ref, fs, name: Optional[str] = None):
         x_est = np.asarray(x_est)

@@ -1,48 +1,66 @@
-"""Native PESQ-WB: an ITU-T P.862.2-structured objective speech metric.
+"""Native PESQ-WB: ITU-T P.862.2 objective speech quality in numpy.
 
 The reference scores PESQ through the `pesq` PyPI package (ITU
 reference C code; /root/reference/utils/eval_metrics.py:99-110). That
 package is not installable in this image, so this module implements
-the published P.862 / P.862.2 pipeline in numpy:
+the P.862 psychoacoustic model + P.862.2 wideband mapping directly:
 
   1. level alignment of both signals to a fixed active-band power
      (350-3250 Hz, target 1e7),
   2. the P.862.2 wideband input IIR filter,
-  3. constant-delay time alignment (envelope + waveform
-     cross-correlation),
+  3. constant-delay time alignment (full-waveform cross-correlation),
   4. 32 ms Hann-windowed power spectra (512-sample frames, 50%
      overlap at 16 kHz),
-  5. Bark-warped pitch power densities over 49 bands,
-  6. partial compensation of the reference for linear frequency
-     response (bounded per-band ratio) and of the degraded signal for
-     short-term gain (bounded, time-smoothed),
-  7. Zwicker-law loudness transformation (exponent 0.23 with the
-     low-band modification),
-  8. masked disturbance (0.25 deadzone) and asymmetric disturbance
-     (spectral-ratio ^1.2, gated at 3, clipped at 12),
-  9. L6-within / L2-across aggregation over 20-frame intervals,
+  5. Bark-warped pitch power densities over the ITU 49-band partition
+     with the 100/nr_of_hz_bands power-density correction and the
+     published Sp scaling,
+  6. full (bounded-ratio) compensation of the reference for linear
+     frequency response, then bounded + time-smoothed short-term gain
+     compensation of the degraded signal (both per P.862
+     freq_resp_compensation / the 0.2-0.8 scale recursion with the
+     5e3 floor and [3e-4, 5] bounds),
+  7. Zwicker-law loudness (exponent 0.23, Sl scaling, low-band
+     exponent modification below 4 Bark),
+  8. masked disturbance (0.25 * min deadzone) and asymmetric
+     disturbance ((deg+50 / ref+50)^1.2, gated at 3, clipped at 12),
+  9. per-frame Bark-width-weighted pseudo-Lp (p=2 symmetric, p=1
+     asymmetric, bands 1..48), division by the ((P+1e5)/1e7)^0.04
+     frame emphasis, both channels clipped at 45, then L6 within
+     half-overlapping 20-frame syllables and L2 across syllables
+     (D_POW_F/S/T = 2/6/2, A_POW_F/S/T = 1/6/2),
   10. raw = 4.5 - 0.1*D - 0.0309*DA, then the P.862.2 logistic map
       MOS-LQO = 0.999 + 4 / (1 + exp(-1.3669*raw + 3.8224)).
 
-PROVENANCE / ACCURACY NOTE (read before trusting absolute values):
-the scalar constants above are the published P.862 values, but the
-ITU parameter *tables* (49-entry Bark band edges, per-band absolute
-hearing thresholds) ship only with the ITU reference code, which is
-not in this image. They are regenerated here from their documented
-sources — a uniform partition of the Zwicker (1961) Bark axis
-quantized to FFT bins, and the Terhardt (1979) absolute-threshold
-formula — so scores are P.862.2-structured and strongly rank-
-correlated with ITU PESQ but may differ by a small calibration
-offset. Identical signals score 4.644 exactly (the mapping anchor),
-and degradation ordering is pinned by tests/test_pesq_native.py.
-Run tools/validate_pesq.py in an environment with the `pesq` package
-to measure the offset against the ITU implementation.
+PARAMETER PROVENANCE: the four 49-entry parameter tables below
+(centre_of_band_bark, width_of_band_bark, abs_thresh_power,
+centre_of_band_hz) are the published ITU-T P.862 16 kHz constants
+(reference C `pesqpar.h`, reproduced in every open PESQ port),
+vendored verbatim. They cross-validate to ~1e-6 via three independent
+internal invariants checked in tests/test_pesq_native.py: adjacent
+band centres telescope exactly through the widths, every absolute
+threshold sits exactly on a 0.01 dB grid, and the low-frequency
+warping satisfies bark = hz/100. The integer FFT-bin->band grouping
+(ITU `nr_of_hz_bands_per_bark_band_16k`) is DERIVED from the vendored
+warping table (piecewise-linear Hz->Bark through the 49 published
+centres; pow_dens_correction = 100/nr) rather than vendored — the
+derivation reproduces the ITU grouping across the validated range and
+can differ only in how the >7.3 kHz residual bins split between the
+top two bands. Scalar constants (Sp, Sl, weights, bounds) are the
+published P.862 values.
+
+Known remaining deviations from the ITU reference code, all outside
+the psychoacoustic model: the level-alignment bandpass is a brickwall
+350-3250 Hz (ITU: 26-point FIR dB mask of the same band); time
+alignment is constant-delay (the ITU per-utterance variable-delay
+search and bad-interval re-alignment are not needed for the
+speech-enhancement case, where enhancement is in-place and delay is
+0); the >16 s long-signal time weighting is identity for the 3-10 s
+utterances this framework evaluates. tools/validate_pesq.py measures
+the residual offset against the ITU package when one is importable.
 
 Scope: both inputs must be the same utterance (reference vs degraded)
 with a constant relative delay — the speech-enhancement evaluation
-case (test_nsvae_se.py enhances in place, so delay is 0). The ITU
-code's per-utterance variable-delay re-alignment loop is not needed
-for this workload and is not implemented.
+case (test_nsvae_se.py enhances in place, so delay is 0).
 """
 
 from __future__ import annotations
@@ -53,66 +71,103 @@ FS = 16000
 NFFT = 512          # 32 ms at 16 kHz
 HOP = NFFT // 2
 NB = 49             # bark bands in the 16 kHz mode
-SP = 6.910853e-6    # power scaling factor (16 kHz)
-SL = 1.866055e-1    # loudness scaling factor (16 kHz)
+SP = 6.910853e-6    # power scaling factor Sp_16k (pesqpar.h)
+SL = 1.866055e-1    # loudness scaling factor Sl_16k (pesqpar.h)
 ZWICKER_POWER = 0.23
 TARGET_POWER = 1e7
-# Calibration of the asymmetric-disturbance channel. With the
-# regenerated Bark/threshold tables (see module docstring) the raw
-# asymmetric disturbance runs ~4x hotter than the ITU tables produce;
-# this scalar restores the published balance between the 0.1*D and
-# 0.0309*DA terms so additive-noise scores track reported PESQ-WB
-# behavior (see tests/test_pesq_native.py for the pinned curve).
-ASYM_CAL = 0.25
-DATAPADDING = int(0.320 * FS)  # 320 ms zero padding at the tail
+DATAPADDING = int(0.320 * FS)  # DATAPADDING_MSECS = 320
+MIN_SCALE = 3e-4
+MAX_SCALE = 5.0
+D_WEIGHT = 0.1
+A_WEIGHT = 0.0309
+PSQM_FRAMES_PER_SYLLABLE = 20
+
+# ---------------------------------------------------------------------------
+# ITU-T P.862 16 kHz parameter tables (pesqpar.h), vendored verbatim.
+# ---------------------------------------------------------------------------
+
+CENTRE_OF_BAND_BARK = np.array([
+    0.078672, 0.316341, 0.636559, 0.961246, 1.290450,
+    1.624217, 1.962597, 2.305636, 2.653383, 3.005889,
+    3.363201, 3.725371, 4.092449, 4.464486, 4.841533,
+    5.223642, 5.610866, 6.003256, 6.400869, 6.803755,
+    7.211971, 7.625571, 8.044611, 8.469146, 8.899232,
+    9.334927, 9.776288, 10.223374, 10.676242, 11.134952,
+    11.599563, 12.070135, 12.546731, 13.029408, 13.518232,
+    14.013264, 14.514566, 15.022202, 15.536238, 16.056736,
+    16.583761, 17.117382, 17.657663, 18.204674, 18.758478,
+    19.319147, 19.886751, 20.461355, 21.043034])
+
+WIDTH_OF_BAND_BARK = np.array([
+    0.157344, 0.317994, 0.322441, 0.326934, 0.331474,
+    0.336061, 0.340697, 0.345381, 0.350114, 0.354897,
+    0.359729, 0.364611, 0.369544, 0.374529, 0.379565,
+    0.384653, 0.389794, 0.394989, 0.400236, 0.405538,
+    0.410894, 0.416306, 0.421773, 0.427297, 0.432877,
+    0.438514, 0.444209, 0.449962, 0.455774, 0.461645,
+    0.467577, 0.473569, 0.479621, 0.485736, 0.491912,
+    0.498151, 0.504454, 0.510819, 0.517250, 0.523745,
+    0.530308, 0.536934, 0.543629, 0.550390, 0.557220,
+    0.564119, 0.571085, 0.578125, 0.585232])
+
+ABS_THRESH_POWER = np.array([
+    51286152.0, 2454709.500, 70794.593750, 4897.788574, 1174.897705,
+    389.045166, 104.712860, 45.708820, 17.782795, 9.772372,
+    4.897789, 3.090296, 1.905461, 1.258925, 0.977237,
+    0.724436, 0.562341, 0.457088, 0.389045, 0.331131,
+    0.295121, 0.269153, 0.257040, 0.251189, 0.251189,
+    0.251189, 0.251189, 0.263027, 0.288403, 0.309030,
+    0.338844, 0.371535, 0.398107, 0.436516, 0.467735,
+    0.489779, 0.501187, 0.501187, 0.512861, 0.524807,
+    0.524807, 0.524807, 0.512861, 0.478630, 0.426580,
+    0.371535, 0.363078, 0.416869, 0.537032])
+
+CENTRE_OF_BAND_HZ = np.array([
+    7.867213, 31.634144, 63.655895, 96.124611, 129.044968,
+    162.421738, 196.259659, 230.563568, 265.338348, 300.588867,
+    336.320129, 372.537140, 409.244934, 446.486633, 484.568604,
+    526.600586, 570.303833, 619.423340, 672.121643, 728.525696,
+    785.675964, 846.835693, 909.691650, 977.063293, 1049.861694,
+    1129.635986, 1217.257568, 1312.109497, 1412.501465, 1517.999390,
+    1628.894165, 1746.194336, 1871.568848, 2008.776123, 2158.979248,
+    2326.743164, 2513.787109, 2722.488770, 2952.586670, 3205.835449,
+    3492.679932, 3820.219238, 4193.938477, 4619.846191, 5100.437012,
+    5636.199219, 6234.313477, 6946.734863, 7796.473633])
 
 
-def _zwicker_bark(f_hz):
-    """Zwicker & Terhardt critical-band rate (Bark)."""
-    f = np.asarray(f_hz, np.float64)
-    return 13.0 * np.arctan(7.6e-4 * f) + 3.5 * np.arctan((f / 7500.0) ** 2)
+def _build_grouping():
+    """FFT-bin -> Bark-band assignment derived from the vendored tables.
 
-
-def _terhardt_threshold_db(f_hz):
-    """Terhardt (1979) absolute threshold of hearing, dB SPL."""
-    f = np.maximum(np.asarray(f_hz, np.float64), 20.0) / 1000.0
-    return (3.64 * f ** -0.8
-            - 6.5 * np.exp(-0.6 * (f - 3.3) ** 2)
-            + 1e-3 * f ** 4)
-
-
-def _build_bands():
-    """49-band Bark partition of the 256 FFT bins (DC excluded).
-
-    Returns (bin_band (255,), centre_bark (NB,), width_bark (NB,),
-    abs_thresh_power (NB,), centre_hz (NB,)).
+    Each bin (31.25 Hz spacing, DC included) is mapped to Bark via
+    piecewise-linear interpolation through (0,0) and the 49 published
+    (centre_hz, centre_bark) pairs (last-slope extrapolation above the
+    top centre), then assigned to the band whose
+    [centre - width/2, centre + width/2) Bark interval contains it.
+    Band 0 holds only the DC bin (its interval tops out at 15.7 Hz),
+    reproducing the ITU grouping; all 256 bins are consumed.
     """
-    bin_hz = np.arange(1, NFFT // 2) * (FS / NFFT)        # 31.25 .. 7968.75
-    edges = np.linspace(0.0, float(_zwicker_bark(FS / 2)), NB + 1)
-    bin_bark = _zwicker_bark(bin_hz)
-    bin_band = np.clip(np.searchsorted(edges, bin_bark, side="right") - 1,
-                       0, NB - 1)
-    centre_bark = 0.5 * (edges[:-1] + edges[1:])
-    width_bark = np.diff(edges)
-    # per-band Hz centre: mean of member-bin freqs (empty -> edge inverse)
-    centre_hz = np.empty(NB)
-    for b in range(NB):
-        members = bin_hz[bin_band == b]
-        if len(members):
-            centre_hz[b] = members.mean()
-        else:  # pragma: no cover - partition leaves no empty bands at 16k
-            centre_hz[b] = np.interp(centre_bark[b], bin_bark, bin_hz)
-    # internal power convention: the level alignment puts active speech
-    # at ~1e7 frame power =~ 79 dB SPL, i.e. 0 dB SPL =~ power 1e7/10^7.9
-    abs_thresh = 10.0 ** (_terhardt_threshold_db(centre_hz) / 10.0)
-    return bin_band, centre_bark, width_bark, abs_thresh, centre_hz
+    bin_hz = np.arange(NFFT // 2) * (FS / NFFT)           # 0 .. 7968.75
+    hz_pts = np.concatenate([[0.0], CENTRE_OF_BAND_HZ])
+    bark_pts = np.concatenate([[0.0], CENTRE_OF_BAND_BARK])
+    bin_bark = np.interp(bin_hz, hz_pts, bark_pts)
+    slope = (bark_pts[-1] - bark_pts[-2]) / (hz_pts[-1] - hz_pts[-2])
+    hi = bin_hz > hz_pts[-1]
+    bin_bark[hi] = bark_pts[-1] + (bin_hz[hi] - hz_pts[-1]) * slope
+    edges = np.concatenate(
+        [CENTRE_OF_BAND_BARK - WIDTH_OF_BAND_BARK / 2,
+         [CENTRE_OF_BAND_BARK[-1] + WIDTH_OF_BAND_BARK[-1] / 2]])
+    band = np.clip(np.searchsorted(edges, bin_bark, side="right") - 1,
+                   0, NB - 1)
+    group = np.zeros((NB, NFFT // 2))
+    group[band, np.arange(NFFT // 2)] = 1.0
+    nr = group.sum(axis=1)
+    return group, nr
 
 
-_BIN_BAND, _CENTRE_BARK, _WIDTH_BARK, _ABS_THRESH, _CENTRE_HZ = _build_bands()
-# aggregate bins -> bands as a (NB, 255) 0/1 matrix; per-band mean power
-_GROUP = np.zeros((NB, NFFT // 2 - 1))
-_GROUP[_BIN_BAND, np.arange(NFFT // 2 - 1)] = 1.0
-_BINS_PER_BAND = np.maximum(_GROUP.sum(axis=1), 1.0)
+_GROUP, _NR_OF_HZ_BANDS = _build_grouping()
+# P.862 pow_dens_correction_factor: 100 / nr_of_hz_bands (the ITU table
+# equals this up to <=1e-5 relative float artifacts)
+_POW_DENS_CORRECTION = 100.0 / _NR_OF_HZ_BANDS
 
 
 # ---------------------------------------------------------------------------
@@ -121,8 +176,8 @@ _BINS_PER_BAND = np.maximum(_GROUP.sum(axis=1), 1.0)
 
 
 def _apply_band_gain_fft(x, lo_hz, hi_hz):
-    """Zero-phase brickband (piecewise-flat) filter via full-signal FFT,
-    the shape of the P.862 level-alignment filter (pass 350-3250 Hz)."""
+    """Zero-phase brickband filter via full-signal FFT — the shape of
+    the P.862 level-alignment bandpass (pass 350-3250 Hz)."""
     n = len(x)
     spec = np.fft.rfft(x)
     f = np.fft.rfftfreq(n, 1.0 / FS)
@@ -131,15 +186,15 @@ def _apply_band_gain_fft(x, lo_hz, hi_hz):
 
 
 def fix_power_level(x):
-    """Scale so the 350-3250 Hz band power averages TARGET_POWER."""
+    """Scale so the 350-3250 Hz band power averages TARGET_POWER
+    (P.862 fix_power_level)."""
     band = _apply_band_gain_fft(x, 350.0, 3250.0)
     power = np.mean(band ** 2) + 1e-20
     return x * np.sqrt(TARGET_POWER / power)
 
 
-# P.862.2 wideband input filter: one high-pass-shaped biquad (16 kHz
-# coefficients from the published standard: b = g*[1, -2, 1],
-# a = [1, -1.8890331, 0.89487434], g = 2.6657628).
+# P.862.2 wideband input filter: the published 16 kHz IIR
+# (b = 2.6657628*[1, -2, 1], a = [1, -1.8890331, 0.89487434]).
 _WB_B = np.array([2.6657628, -5.3315255, 2.6657628])
 _WB_A = np.array([1.0, -1.8890331, 0.89487434])
 
@@ -165,7 +220,7 @@ def estimate_delay(ref, deg, max_delay=FS // 2):
 
 
 # ---------------------------------------------------------------------------
-# perceptual model
+# psychoacoustic model (P.862 pesqmod.c structure, vectorized over frames)
 # ---------------------------------------------------------------------------
 
 
@@ -176,56 +231,66 @@ def _frames(x):
 
 
 def _pitch_power_densities(x):
-    """(T, NB) mean band powers of Hann-windowed 32 ms frames."""
+    """(T, NB) pitch power densities: unnormalized |FFT|^2 of Hann
+    frames, grouped to Bark bands, * pow_dens_correction * Sp
+    (P.862 short_term_fft + freq_warping)."""
     w = 0.5 * (1.0 - np.cos(2.0 * np.pi * np.arange(NFFT) / NFFT))
     fr = _frames(x) * w
     spec = np.fft.rfft(fr, axis=1)
-    power = (spec.real ** 2 + spec.imag ** 2)[:, 1 : NFFT // 2] * SP
-    return (power @ _GROUP.T) / _BINS_PER_BAND
+    power = (spec.real ** 2 + spec.imag ** 2)[:, : NFFT // 2]
+    return (power @ _GROUP.T) * (_POW_DENS_CORRECTION * SP)[None, :]
 
 
-def _total_audible(pp, factor=1.0):
-    """Per-frame sum of supra-threshold band power. pp: (T, NB)."""
-    audible = np.where(pp > _ABS_THRESH * factor, pp, 0.0)
-    return audible.sum(axis=1)
+def _total_audible(pp, factor):
+    """Per-frame supra-threshold band power, bands 1..NB-1 (P.862
+    total_audible skips the DC band). pp: (T, NB) -> (T,)."""
+    p = pp[:, 1:]
+    return np.where(p > ABS_THRESH_POWER[None, 1:] * factor, p, 0.0).sum(axis=1)
+
+
+def _time_avg_audible(pp, silent):
+    """Per-band average over non-silent frames of power > 100*threshold,
+    divided by the TOTAL frame count (P.862 time_avg_audible_of keeps
+    that denominator). pp: (T, NB) -> (NB,)."""
+    mask = (~silent)[:, None] & (pp > 100.0 * ABS_THRESH_POWER[None, :])
+    return np.where(mask, pp, 0.0).sum(axis=0) / len(pp)
 
 
 def _loudness(pp):
-    """Zwicker-law specific loudness (T, NB), with the P.862 low-band
-    exponent modification below 4 Bark."""
-    h = np.where(_CENTRE_BARK < 4.0,
-                 np.minimum(6.0 / (_CENTRE_BARK + 2.0), 2.0), 1.0)
+    """Zwicker-law specific loudness (T, NB) with the P.862 low-band
+    exponent modification below 4 Bark (intensity_warping_of)."""
+    h = np.where(CENTRE_OF_BAND_BARK < 4.0,
+                 np.minimum(6.0 / (CENTRE_OF_BAND_BARK + 2.0), 2.0), 1.0)
     gamma = ZWICKER_POWER * h ** 0.15
-    t = _ABS_THRESH[None, :]
+    t = ABS_THRESH_POWER[None, :]
     loud = (SL * (t / 0.5) ** gamma[None, :]
             * ((0.5 + 0.5 * pp / t) ** gamma[None, :] - 1.0))
     return np.where(pp > t, loud, 0.0)
 
 
 def _pseudo_lp(d, p):
-    """P.862 pseudo-Lp over bands with bark-width weighting:
-    (mean_b (|d_b| w_b)^p)^(1/p) scaled by the total bark width.
+    """P.862 pseudo_Lp: Bark-width-weighted Lp over bands 1..NB-1
+    (the DC band is excluded), rescaled by the total width.
     d: (T, NB) -> (T,)."""
-    w = _WIDTH_BARK[None, :]
-    tot = _WIDTH_BARK.sum()
-    return (((np.abs(d) * w) ** p).sum(axis=1) / tot) ** (1.0 / p) * tot
+    w = WIDTH_OF_BAND_BARK[None, 1:]
+    tot = WIDTH_OF_BAND_BARK[1:].sum()
+    return (((np.abs(d[:, 1:]) * w) ** p).sum(axis=1) / tot) ** (1.0 / p) * tot
 
 
-def _lpq(frame_d, active, p, q, chunk=20):
-    """L_p within 20-frame intervals, L_q across intervals, over active
-    frames (P.862's PSQM-interval aggregation)."""
-    d = frame_d[active]
-    if len(d) == 0:
-        return 0.0
-    n = len(d)
-    vals = []
-    for s in range(0, n, chunk // 2):
-        seg = d[s : s + chunk]
-        if len(seg) == 0:
-            break
-        vals.append((np.mean(seg ** p)) ** (1.0 / p))
-    vals = np.asarray(vals)
-    return float((np.mean(vals ** q)) ** (1.0 / q))
+def _lpq_weight(frame_d, p_syl, p_time):
+    """P.862 Lpq_weight: L_{p_syl} within half-overlapping 20-frame
+    syllables (the mean keeps denominator 20 even for tail syllables,
+    i.e. virtual zero frames count), then L_{p_time} across syllables.
+    Time weights are 1 for <16 s signals (this framework's case)."""
+    n = len(frame_d)
+    result_time = 0.0
+    count = 0
+    for s in range(0, n, PSQM_FRAMES_PER_SYLLABLE // 2):
+        seg = frame_d[s : s + PSQM_FRAMES_PER_SYLLABLE]
+        r = (seg ** p_syl).sum() / PSQM_FRAMES_PER_SYLLABLE
+        result_time += r ** (p_time / p_syl)
+        count += 1
+    return float((result_time / count) ** (1.0 / p_time))
 
 
 def _raw_pesq_to_mos_lqo(raw):
@@ -261,63 +326,64 @@ def pesq_wb_native(ref, deg, fs=FS) -> float:
     pp_ref = _pitch_power_densities(ref)
     pp_deg = _pitch_power_densities(deg)
 
-    # speech-active frames of the reference (1e7-normalized level)
-    frame_pow = _total_audible(pp_ref, 1.0)
-    active = frame_pow > TARGET_POWER * 1e-4
-    if not np.any(active):
-        active = frame_pow > 0
-    if not np.any(active):
-        # silent/degenerate reference: the ITU reference code (and the
-        # `pesq` package, NoUtterancesError) refuses to score rather
-        # than returning the raw-offset maximum MOS; raising here lets
+    # silent-frame flags of the reference (P.862: total audible power at
+    # factor 1e2 below 1e7)
+    tot_ref_100 = _total_audible(pp_ref, 1e2)
+    silent = tot_ref_100 < 1e7
+    if _total_audible(pp_ref, 1.0).max() <= 0.0:
+        # degenerate (inaudible) reference: the ITU code (and the `pesq`
+        # package, NoUtterancesError) refuses to score rather than
+        # returning the raw-offset maximum MOS; raising here lets
         # metrics.pesq_wb apply the reference's 0.0 substitution
         # (utils/eval_metrics.py:105-110).
         raise ValueError("no speech-active frames in the reference signal")
 
-    # 6a. PARTIAL frequency-response compensation of the reference:
-    # the bounded band ratio is applied with a sub-unity exponent, so
-    # linear filtering is mostly forgiven but gross spectral deletion
-    # still registers as disturbance.
-    avg_ref = pp_ref[active].mean(axis=0)
-    avg_deg = pp_deg[active].mean(axis=0)
+    # 6a. frequency-response compensation of the REFERENCE toward the
+    # degraded long-term spectrum (full bounded ratio, P.862
+    # freq_resp_compensation)
+    avg_ref = _time_avg_audible(pp_ref, silent)
+    avg_deg = _time_avg_audible(pp_deg, silent)
     ratio = np.clip((avg_deg + 1000.0) / (avg_ref + 1000.0), 0.01, 100.0)
-    pp_ref_c = pp_ref * (ratio[None, :] ** 0.2)
+    mod_ref = pp_ref * ratio[None, :]
 
-    # 6b. bounded, smoothed short-term gain compensation of deg
-    num = _total_audible(pp_ref_c, 1.0) + 5e5
-    den = _total_audible(pp_deg, 1.0) + 5e5
-    scale = np.clip(num / den, 3e-4, 5.0)
-    sm = np.empty_like(scale)
-    prev = 1.0
-    for t in range(len(scale)):
-        prev = 0.2 * prev + 0.8 * scale[t]
+    # 6b. short-term gain compensation of the degraded signal: raw scale
+    # (mod_ref+5e3)/(deg+5e3), 0.2/0.8 recursion (frame 0 unsmoothed),
+    # clipped AFTER smoothing to [MIN_SCALE, MAX_SCALE]
+    num = _total_audible(mod_ref, 1.0) + 5e3
+    den = _total_audible(pp_deg, 1.0) + 5e3
+    raw_scale = num / den
+    sm = np.empty_like(raw_scale)
+    prev = raw_scale[0]
+    sm[0] = prev
+    for t in range(1, len(raw_scale)):
+        prev = 0.2 * prev + 0.8 * raw_scale[t]
         sm[t] = prev
-    pp_deg_c = pp_deg * sm[:, None]
+    pp_deg_c = pp_deg * np.clip(sm, MIN_SCALE, MAX_SCALE)[:, None]
 
     # 7. loudness
-    loud_ref = _loudness(pp_ref_c)
+    loud_ref = _loudness(mod_ref)
     loud_deg = _loudness(pp_deg_c)
 
-    # 8. masked disturbance
+    # 8. masked disturbance + asymmetry factor (original ref densities,
+    # scaled deg densities — P.862 multiply_with_asymmetry_factor)
     d = loud_deg - loud_ref
     m = 0.25 * np.minimum(loud_deg, loud_ref)
     disturbance = np.where(d > m, d - m, np.where(d < -m, d + m, 0.0))
 
-    asym = ((pp_deg_c + 50.0) / (pp_ref_c + 50.0)) ** 1.2
+    asym = ((pp_deg_c + 50.0) / (pp_ref + 50.0)) ** 1.2
     asym = np.where(asym < 3.0, 0.0, np.minimum(asym, 12.0))
 
-    d_frame = _pseudo_lp(disturbance, 2.0)
-    da_frame = ASYM_CAL * (
-        np.abs(disturbance * asym) * _WIDTH_BARK[None, :]).sum(axis=1)
+    d_frame = _pseudo_lp(disturbance, 2.0)            # D_POW_F = 2
+    da_frame = _pseudo_lp(disturbance * asym, 1.0)    # A_POW_F = 1
 
-    # 9. frame weighting by reference loudness (quiet frames count less)
-    h = ((frame_pow + 1e5) / 1e7) ** 0.04
+    # 9. frame emphasis by reference loudness, both channels capped at 45
+    h = ((tot_ref_100 + 1e5) / 1e7) ** 0.04
     d_frame = np.minimum(d_frame / h, 45.0)
-    da_frame = np.minimum(da_frame / h, 45.0 * 15.0)
+    da_frame = np.minimum(da_frame / h, 45.0)
 
-    d_sym = _lpq(d_frame, active, p=6.0, q=2.0)
-    d_asym = _lpq(da_frame, active, p=1.0, q=2.0)
+    d_sym = _lpq_weight(d_frame, 6.0, 2.0)            # D_POW_S/T = 6/2
+    d_asym = _lpq_weight(da_frame, 6.0, 2.0)          # A_POW_S/T = 6/2
 
-    raw = 4.5 - 0.1 * d_sym - 0.0309 * d_asym
+    raw = 4.5 - D_WEIGHT * d_sym - A_WEIGHT * d_asym
     raw = float(np.clip(raw, -0.5, 4.5))
     return float(_raw_pesq_to_mos_lqo(raw))

@@ -56,8 +56,14 @@ def test_run_enhancement_eval(tmp_path):
     res = run_enhancement_eval(e, noisy_paths, clean_paths, out_dir,
                                batch_size=2, write_wavs=True)
     assert "summary" in res and "delta" in res
+    # metric provenance is tagged in the result AND the written summary
+    # (native vs package scores must never be conflated across images)
+    assert res["provenance"]["pesq_impl"] in ("native", "itu")
+    assert res["provenance"]["stoi_impl"] in ("native", "pystoi")
     assert os.path.exists(os.path.join(out_dir, "per_utterance.json"))
     assert os.path.exists(os.path.join(out_dir, "summary.json"))
+    with open(os.path.join(out_dir, "summary.json")) as f:
+        assert "provenance" in json.load(f)
     assert len(os.listdir(os.path.join(out_dir, "enhanced"))) == 3
     with open(os.path.join(out_dir, "per_utterance.json")) as f:
         per = json.load(f)
@@ -76,6 +82,9 @@ def test_run_vae_reconstruction_eval(tmp_path):
         num_samples=2, batch_size=2,
     )
     assert "latent_diag" in res
+    assert res["provenance"]["pesq_impl"] in ("native", "itu")
+    with open(os.path.join(out_dir, "summary.json")) as f:
+        assert "provenance" in json.load(f)
     assert os.path.exists(os.path.join(out_dir, "cov_mu_diag.png"))
 
 
@@ -87,6 +96,9 @@ def test_run_supervised_eval(tmp_path):
     res = run_supervised_eval(model, v, noisy_paths, clean_paths, out_dir,
                               TINY, batch_size=2)
     assert len(res["per_utterance"]) == 3
+    assert res["provenance"]["stoi_impl"] in ("native", "pystoi")
+    with open(os.path.join(out_dir, "summary.json")) as f:
+        assert "provenance" in json.load(f)
 
 
 def test_posterior_distance():
