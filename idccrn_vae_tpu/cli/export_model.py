@@ -67,6 +67,13 @@ def main(argv=None):
     seconds = [float(s) for s in args.seconds.split(",") if s.strip()]
     if not seconds:
         raise SystemExit("--seconds must name at least one length")
+    if args.streaming and seconds != [3.0]:
+        # mirror the explicit nsvae-flag guard below: --seconds shapes
+        # the OFFLINE bucket list only; silently dropping it would let a
+        # user believe the streaming artifact was length-specialized
+        raise SystemExit("--seconds applies to offline bucket export and "
+                         "is ignored by --streaming (chunk size comes from "
+                         "--chunk_frames); drop one of the two flags")
     if args.streaming and args.model == "nsvae" and (
             args.outtype != "clean_direct" or args.latent_to_use != 1
             or args.noise_decoder_dir or args.num_samples != 1):
@@ -156,7 +163,8 @@ def main(argv=None):
     hop = cfg.stft.hop
     lengths = sorted({max(hop, (int(s * args.fs) // hop) * hop)
                       for s in seconds})
-    meta.update(length=lengths[-1], seconds=lengths[-1] / args.fs)
+    meta.update(length=lengths[-1], seconds=lengths[-1] / args.fs,
+                n_fft=cfg.stft.n_fft, hop=hop)
 
     exports = {length: export_serving(fn, length) for length in lengths}
     path = save_artifacts(args.out_dir, exports, meta)

@@ -47,18 +47,31 @@ def main(argv=None):
     wavs = load_testset(paths, fs)
 
     # each utterance is cut into fixed-`length` windows (the artifact is
-    # length-specialized); windows from ALL files flatten into one span
-    # list so --batch_size bounds the device batch in WINDOWS — a single
-    # long file cannot blow past it
+    # length-specialized). Adjacent windows OVERLAP by n_fft so the
+    # independently-enhanced window heads (which lack left context) are
+    # cross-faded against the previous window's in-context tail instead
+    # of butting into it as an audible seam (ADVICE r2). Windows from
+    # ALL files flatten into one span list so --batch_size bounds the
+    # device batch in WINDOWS — a single long file cannot blow past it.
+    overlap = min(int(meta.get("n_fft", 512)), length // 2)
+    step = max(length - overlap, 1)
     spans = []  # (utt_idx, start, valid)
     for u, w in enumerate(wavs):
-        for start in range(0, max(len(w), 1), length):
+        start = 0
+        while True:
             spans.append((u, start, max(min(length, len(w) - start), 0)))
+            if start + length >= len(w):
+                break
+            start += step
     # group similar-length windows together so short tails batch into
     # the smaller artifact buckets (load_artifact pads to the smallest
     # covering bucket per call)
     spans.sort(key=lambda s: -s[2])
-    outs = [np.zeros(len(w), np.float32) for w in wavs]
+    # weighted overlap-add: ramped window weights, normalized by the
+    # accumulated weight afterwards (self-normalizing — a sample covered
+    # by a single ramped window divides back to full scale)
+    num = [np.zeros(len(w), np.float64) for w in wavs]
+    den = [np.zeros(len(w), np.float64) for w in wavs]
 
     t0 = time.perf_counter()
     for s in range(0, len(spans), args.batch_size):
@@ -70,7 +83,20 @@ def main(argv=None):
         out = np.asarray(call(batch, raw_key))
         for r, (u, start, valid) in enumerate(group):
             v = min(valid, out.shape[1])
-            outs[u][start : start + v] = out[r, :v]
+            if v <= 0:
+                continue
+            wt = np.ones(v)
+            if start > 0:  # fade in against the previous window's tail
+                h = min(overlap, v)
+                wt[:h] = np.arange(1, h + 1) / (h + 1)
+            if start + length < len(wavs[u]):  # a next window follows
+                tail = min(overlap, v)
+                wt[-tail:] = np.minimum(
+                    wt[-tail:], np.arange(tail, 0, -1) / (tail + 1))
+            num[u][start : start + v] += out[r, :v] * wt
+            den[u][start : start + v] += wt
+    outs = [(n / np.maximum(d, 1e-12)).astype(np.float32)
+            for n, d in zip(num, den)]
     wall = time.perf_counter() - t0
 
     audio_s = 0.0

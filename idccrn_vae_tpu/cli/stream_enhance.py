@@ -90,6 +90,13 @@ def main(argv=None):
     from idccrn_vae_tpu.data.segments import find_wavs
     from idccrn_vae_tpu.eval.streaming import StreamingEnhancer
 
+    # resolve inputs BEFORE loading/warming the model: an empty --in_dir
+    # must fail with a clear message, not an opaque np.percentile
+    # IndexError after minutes of compile (ADVICE r2)
+    paths = [args.in_wav] if args.in_wav else find_wavs(args.in_dir)
+    if not paths:
+        raise SystemExit(f"no wav files found in --in_dir {args.in_dir}")
+
     enc_cfg, dec_cfg, enc_vars, dec_vars, datanorm = \
         _load_streaming_models(args)
     if not (enc_cfg.causal and dec_cfg.causal):
@@ -101,7 +108,6 @@ def main(argv=None):
     m = streamer.chunk_samples
     chunk_s = m / args.fs
 
-    paths = [args.in_wav] if args.in_wav else find_wavs(args.in_dir)
     os.makedirs(args.out_dir, exist_ok=True)
 
     # Warm the jitted chunk step once so compile time never lands in a

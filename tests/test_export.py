@@ -190,6 +190,12 @@ def test_export_model_cli(corpus, monkeypatch):  # noqa: F811
         export_main(["--model", "nsvae", "--nsvae_dir", "unused",
                      "--out_dir", out_dir, "--streaming",
                      "--outtype", "complex_mask", "--latent_to_use", "2"])
+    # --seconds shapes offline buckets only; combined with --streaming it
+    # is rejected rather than silently dropped (ADVICE r2)
+    with pytest.raises(SystemExit, match="offline bucket export"):
+        export_main(["--model", "supervised", "--model_dir", mdir,
+                     "--out_dir", out_dir, "--streaming",
+                     "--chunk_frames", "8", "--seconds", "1,3,10"])
 
     # serve from the artifact alone (no checkpoint / model code);
     # include one wav LONGER than the max bucket -> windowed 4000+4000+

@@ -42,13 +42,26 @@ def test_stream_enhance_cli_supervised(corpus, monkeypatch):  # noqa: F811
 
 def test_stream_enhance_cli_rejects_bad_args(tmp_path):
     from idccrn_vae_tpu.cli.stream_enhance import main as stream_main
+    from idccrn_vae_tpu.data.audio_io import write_wav
 
     with pytest.raises(SystemExit):  # neither --in_dir nor --in_wav
         stream_main(["--model", "supervised", "--model_dir", str(tmp_path),
                      "--out_dir", str(tmp_path / "o")])
+    # an empty --in_dir fails fast with a clear message BEFORE any model
+    # is loaded or warmed (ADVICE r2)
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    with pytest.raises(SystemExit, match="no wav files"):
+        stream_main(["--model", "supervised", "--model_dir", str(tmp_path),
+                     "--in_dir", str(empty),
+                     "--out_dir", str(tmp_path / "o")])
+    wav_dir = tmp_path / "wavs"
+    wav_dir.mkdir()
+    write_wav(str(wav_dir / "a.wav"),
+              np.zeros(1600, np.float32), 16000)
     with pytest.raises(SystemExit):  # supervised without --model_dir
-        stream_main(["--model", "supervised", "--in_dir", str(tmp_path),
+        stream_main(["--model", "supervised", "--in_dir", str(wav_dir),
                      "--out_dir", str(tmp_path / "o")])
     with pytest.raises(SystemExit):  # nsvae without --nsvae_dir
-        stream_main(["--in_dir", str(tmp_path),
+        stream_main(["--in_dir", str(wav_dir),
                      "--out_dir", str(tmp_path / "o")])
