@@ -4,9 +4,20 @@ devices each == one 8-device single-process run.
 Each subprocess calls jax.distributed.initialize (Gloo-backed CPU
 collectives), builds the global 'data' mesh, feeds its PROCESS-LOCAL
 quarter of the global batch through shard_batch's
-make_array_from_process_local_data path, and runs one PretrainTrainer
-step. Loss and the updated-parameter checksum must match the
+make_array_from_process_local_data path, and runs one training step of
+TWO trainers: PretrainTrainer and the NSVAE trainer with its
+partial-freeze split (trainable noisy+clean encoders, frozen noise
+encoder) — the mesh-sensitive masked-update structure (VERDICT r2
+missing #4). Losses and updated-parameter checksums must match the
 single-process run bit-for-bit-ish.
+
+Barriers use the public jax.experimental.multihost_utils.
+sync_global_devices (no jax._src): the FIRST barrier runs immediately
+after initialize, creating the Gloo collective context while
+inter-process skew is minimal (Gloo's context creation carries a fixed
+30 s KV deadline); later barriers and steps reuse it. Training steps
+are still AOT-compiled before their barrier so compile skew never sits
+between a barrier and its matching execution.
 """
 
 import json
@@ -42,16 +53,32 @@ from idccrn_vae_tpu.parallel import distributed as dist
 dist.initialize(coordinator_address=f"localhost:{port}",
                 num_processes=2, process_id=pid)
 assert jax.device_count() == 8 and jax.local_device_count() == 4
+import dataclasses
 import numpy as np
 import jax.numpy as jnp
+import optax
+from jax.experimental import multihost_utils as mhu
+from idccrn_vae_tpu.losses.nsvae_loss import NsvaeTrueKlLoss
 from idccrn_vae_tpu.losses.vae_loss import PretrainVaeLoss, kl_annealing_schedule
 from idccrn_vae_tpu.models.config import DccrnConfig
 from idccrn_vae_tpu.parallel.mesh import shard_batch
+from idccrn_vae_tpu.train.nsvae import NsvaeTrainer
 from idccrn_vae_tpu.train.pretrain import PretrainTrainer
+
+# create the Gloo collective context NOW, while the two processes are
+# within milliseconds of each other (its fixed 30 s KV deadline is the
+# flake source); every later collective reuses the established context
+mhu.sync_global_devices("mh_start")
 
 TINY = DccrnConfig(encoder_channels=(1, 2, 2, 4, 4, 4, 4), zdim=4,
                    num_samples=1)
 mesh = dist.global_mesh()
+
+def checksum_of(params):
+    return float(sum(abs(np.asarray(jax.device_get(x))).sum()
+                     for x in jax.tree.leaves(params)))
+
+# --- leg 1: PretrainTrainer ------------------------------------------------
 loss = PretrainVaeLoss(kl_annealing_schedule(5), 0.01, num_samples=1)
 tr = PretrainTrainer(TINY, loss, 1e-3, mesh=mesh)
 state = tr.init_state()
@@ -59,23 +86,45 @@ wav = (np.random.default_rng(0).standard_normal((8, 1600)) * 0.3
        ).astype(np.float32)
 local = wav[pid * 4 : (pid + 1) * 4]           # process-local shard
 
-# AOT-compile BEFORE the first collective executes, then rendezvous on
-# the coordination-service barrier (generous timeout) — compile-time
-# skew between the two workers on this 1-CPU host otherwise blows
-# Gloo's fixed 30 s context-creation deadline.
+# AOT-compile BEFORE the barrier so compile-time skew between the two
+# workers on this 1-CPU host never sits between barrier and execution
 wavd = shard_batch(mesh, jnp.asarray(local, jnp.float32))
 kl_w = jnp.asarray(loss.kl_weight_at(0), jnp.float32)
 rng = jax.random.PRNGKey(0)
 compiled = tr._train_step.lower(state, wavd, rng, kl_w,
                                 train=True).compile()
-from jax._src import distributed as _jdist
-_jdist.global_state.client.wait_at_barrier("mh_compiled", 600000)
+mhu.sync_global_devices("mh_pretrain_compiled")
 s1, m = compiled(state, wavd, rng, kl_w)
-checksum = float(sum(abs(np.asarray(jax.device_get(x))).sum()
-                     for x in jax.tree.leaves(s1["enc"]["params"])))
+pre_checksum = checksum_of(s1["enc"]["params"])
+
+# --- leg 2: NSVAE trainer, partial-freeze split ----------------------------
+noisy_cfg = dataclasses.replace(TINY, latent_num=2, channel_mode="double")
+nloss = NsvaeTrueKlLoss(alpha=0.5, w_resi=0.1, w_kl=1.0, w_dismiu=0.1,
+                        cfg=noisy_cfg, matching="both")
+ntr = NsvaeTrainer(TINY, noisy_cfg, nloss, 1e-3,
+                   trainable={"clean_enc": True}, mesh=mesh)
+ntr.tx = optax.sgd(1e-3)  # SGD: param delta IS the gradient (x lr)
+nstate = ntr.init_state()
+batch3 = tuple((np.random.default_rng(s).standard_normal((8, 1600)) * 0.3
+                ).astype(np.float32) for s in (1, 2, 3))
+sharded = tuple(shard_batch(mesh, jnp.asarray(b[pid * 4:(pid + 1) * 4]))
+                for b in batch3)
+nrng = jax.random.PRNGKey(0)
+ncompiled = ntr._jit_step.lower(nstate, *sharded, nrng,
+                                train=True).compile()
+mhu.sync_global_devices("mh_nsvae_compiled")
+ns1, nm = ncompiled(nstate, *sharded, nrng)
+
 with open(out_path, "w") as f:
     json.dump({"total": float(m["total"]), "kl": float(m["kl"]),
-               "checksum": checksum,
+               "checksum": pre_checksum,
+               "nsvae_total": float(nm["total"]),
+               "nsvae_noisy_checksum":
+                   checksum_of(ns1["models"]["noisy_enc"]["params"]),
+               "nsvae_clean_checksum":
+                   checksum_of(ns1["models"]["clean_enc"]["params"]),
+               "nsvae_noise_checksum":
+                   checksum_of(ns1["models"]["noise_enc"]["params"]),
                "files": dist.shard_file_list(list("abcdef"))}, f)
 """ % {"repo": REPO}
 
@@ -101,8 +150,9 @@ def _spawn_workers(tmp_path, script):
     env = {k: v for k, v in os.environ.items()}
     env["PYTHONPATH"] = REPO
     last = ""
-    # a healthy warm run takes ~90 s; 300 s separates "slow" from
-    # "hung" without letting one hung attempt eat the whole budget
+    # a healthy warm run takes ~90 s (plus the NSVAE leg's compile on a
+    # cold cache); 480 s separates "slow" from "hung" without letting
+    # one hung attempt eat the whole budget
     for _attempt in range(4):
         port = _free_port()
         procs, outs = [], []
@@ -116,7 +166,7 @@ def _spawn_workers(tmp_path, script):
         hung = False
         for p in procs:
             try:
-                stdout, _ = p.communicate(timeout=300)
+                stdout, _ = p.communicate(timeout=480)
                 logs.append(stdout.decode()[-3000:])
             except subprocess.TimeoutExpired:
                 # a hang-type rendezvous flake: kill BOTH workers (an
@@ -126,7 +176,7 @@ def _spawn_workers(tmp_path, script):
                 for q in procs:
                     q.kill()
                 stdout, _ = p.communicate()
-                logs.append("<hung 300s>\n" + stdout.decode()[-3000:])
+                logs.append("<hung 480s>\n" + stdout.decode()[-3000:])
         if not hung and all(p.returncode == 0 for p in procs):
             return outs
         last = "\n".join(logs)
@@ -165,10 +215,45 @@ def test_two_process_matches_single_process(tmp_path):
     wav = (np.random.default_rng(0).standard_normal((8, 1600)) * 0.3
            ).astype(np.float32)
     s1, m = tr.train_step(tr.init_state(), wav, jax.random.PRNGKey(0), 0)
-    checksum = float(sum(abs(np.asarray(jax.device_get(x))).sum()
-                         for x in jax.tree.leaves(s1["enc"]["params"])))
+
+    def checksum_of(params):
+        return float(sum(abs(np.asarray(jax.device_get(x))).sum()
+                         for x in jax.tree.leaves(params)))
+
     assert r0["total"] == pytest.approx(float(m["total"]), rel=1e-4)
-    assert r0["checksum"] == pytest.approx(checksum, rel=1e-4)
+    assert r0["checksum"] == pytest.approx(checksum_of(s1["enc"]["params"]),
+                                           rel=1e-4)
+
+    # --- NSVAE leg: partial-freeze split across processes ----------------
+    import dataclasses
+
+    import optax
+
+    from idccrn_vae_tpu.losses.nsvae_loss import NsvaeTrueKlLoss
+    from idccrn_vae_tpu.train.nsvae import NsvaeTrainer
+
+    noisy_cfg = dataclasses.replace(tiny, latent_num=2,
+                                    channel_mode="double")
+    nloss = NsvaeTrueKlLoss(alpha=0.5, w_resi=0.1, w_kl=1.0, w_dismiu=0.1,
+                            cfg=noisy_cfg, matching="both")
+    ntr = NsvaeTrainer(tiny, noisy_cfg, nloss, 1e-3,
+                       trainable={"clean_enc": True}, mesh=make_mesh(8))
+    ntr.tx = optax.sgd(1e-3)
+    ns0 = ntr.init_state()
+    batch3 = tuple((np.random.default_rng(s).standard_normal((8, 1600))
+                    * 0.3).astype(np.float32) for s in (1, 2, 3))
+    ns1, nm = ntr.train_step(ns0, batch3, jax.random.PRNGKey(0), 0)
+
+    assert r0["nsvae_total"] == pytest.approx(r1["nsvae_total"], rel=1e-6)
+    assert r0["nsvae_total"] == pytest.approx(float(nm["total"]), rel=1e-4)
+    assert r0["nsvae_noisy_checksum"] == pytest.approx(
+        checksum_of(ns1["models"]["noisy_enc"]["params"]), rel=1e-4)
+    assert r0["nsvae_clean_checksum"] == pytest.approx(
+        checksum_of(ns1["models"]["clean_enc"]["params"]), rel=1e-4)
+    # the frozen noise encoder is bit-identical to its (seeded) init on
+    # both the 2-process and single-process runs
+    assert r0["nsvae_noise_checksum"] == pytest.approx(
+        checksum_of(ns0["models"]["noise_enc"]["params"]), rel=1e-6)
 
 
 def test_shard_file_list_equal_shards():
