@@ -39,9 +39,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 FS = 16000
-UTT_SECONDS = 6.0          # 2 training segments per utterance
+UTT_SECONDS = 6.5          # 2 full 3 s training segments per utterance
 N_TRAIN = 96
-N_VAL = 12
+N_VAL = 24   # val loader drops incomplete batches; 48 segments = 3 val batches of 16
 
 
 def _formant_filter(x, rng):
@@ -160,12 +160,24 @@ def latest(root, name):
 def load_curves(model_dir):
     from idccrn_vae_tpu.train.checkpoint import CheckpointManager
 
+    out = {}
     try:
         meta = CheckpointManager(model_dir).load_meta()
-        return {"curves": meta.get("curves"), "epoch": meta.get("epoch"),
-                "best_val": meta.get("best_val")}
+        out.update(epoch=meta.get("epoch"), best_val=meta.get("best_val"))
     except Exception as e:  # pragma: no cover
-        return {"error": str(e)}
+        out["meta_error"] = str(e)
+    curves_path = os.path.join(model_dir, "loss_curves.json")
+    if os.path.exists(curves_path):
+        with open(curves_path) as f:
+            c = json.load(f)
+        for split in ("train", "val"):
+            series = c.get(split) or []
+            out[f"{split}_total"] = [round(e.get("total", float("nan")), 4)
+                                     for e in series]
+            if series:
+                out[f"{split}_last"] = {k: round(v, 4)
+                                        for k, v in series[-1].items()}
+    return out
 
 
 def main():
