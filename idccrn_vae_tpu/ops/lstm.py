@@ -136,24 +136,6 @@ def init_complex_lstm(key, input_size: int, hidden_size: int, num_layers: int,
     }
 
 
-def _pallas_ok(backend: str) -> bool:
-    if backend == "scan":
-        return False
-    from idccrn_vae_tpu.ops.pallas.lstm_kernel import pallas_lstm_available
-
-    if backend == "pallas":
-        if not pallas_lstm_available():
-            raise ValueError(
-                "backend='pallas' requires a TPU backend (Mosaic "
-                "lowering); use backend='scan' or 'auto' on "
-                f"{jax.default_backend()!r}")
-        return True
-    # auto currently resolves to the scan path: on v5e the XLA while-loop
-    # scan benches at parity with (or ahead of) the Pallas kernel for the
-    # reference geometry, so the kernel stays opt-in (backend='pallas').
-    return False
-
-
 def complex_lstm(x: jnp.ndarray, params: dict, unroll: int = 4,
                  compute_dtype=None, backend: str = "auto",
                  state=None, return_state: bool = False):
@@ -180,45 +162,30 @@ def complex_lstm(x: jnp.ndarray, params: dict, unroll: int = 4,
                            list(params["re"]), list(params["im"]))
     hidden = params["re"][0]["w_hh"].shape[0]
 
-    if backend == "pallas" and (return_state or state is not None):
-        # the kernel always starts from zeroed carries and does not
-        # expose the final (h, c) — carried-state callers (streaming)
-        # must use the scan path.
-        raise ValueError(
-            "backend='pallas' does not support carried LSTM state "
-            "(state=/return_state=); use backend='scan'")
-    if _pallas_ok(backend):
-        from idccrn_vae_tpu.ops.pallas.lstm_kernel import stacked_lstm_layer
-
-        cur = jnp.broadcast_to(xin[None], (2,) + xin.shape)  # (2, 2B, T, In)
-        for p in stacked:
-            w_ih, w_hh = p["w_ih"], p["w_hh"]
-            if compute_dtype is not None:
-                cur = cur.astype(compute_dtype)
-                w_ih = w_ih.astype(compute_dtype)
-                w_hh = w_hh.astype(compute_dtype)
-            x_proj = (
-                jnp.einsum("wbti,wih->wtbh", cur, w_ih,
-                           preferred_element_type=jnp.float32)
-                + (p["b_ih"] + p["b_hh"])[:, None, None, :]
-            )
-            # kernel consumes/produces (W, T, B, *)
-            cur = jnp.transpose(stacked_lstm_layer(x_proj, w_hh),
-                                (0, 2, 1, 3))
-        out = cur  # (2, 2B, T, H)
+    if backend not in ("auto", "scan"):
+        # A Pallas LSTM kernel existed through round 2 (opt-in via
+        # backend='pallas') and was REMOVED in round 3 after losing its
+        # last candidate niche: offline it benched at parity with the
+        # batched scan on v5e (CLAUDE.md round-2 note), and at the B=1
+        # streaming chunk-step geometry the stateless kernel (105-120 us)
+        # did not beat the STATEFUL scan (103-108 us, STREAM_BENCH.json
+        # lstm_probe_us) — while also lacking carried-(h, c) support, so
+        # it could never serve the streaming path it was kept for.
+        raise ValueError(f"unknown LSTM backend {backend!r}; the Pallas "
+                         "kernel was removed (see STREAM_BENCH.json) — "
+                         "use 'auto' or 'scan'")
+    if return_state or state is not None:
+        out, final_state = jax.vmap(
+            lambda p, s: lstm(xin, p, unroll=unroll,
+                              compute_dtype=compute_dtype, state=s,
+                              return_state=True)
+        )(stacked, state if state is not None
+          else _zero_state(len(stacked), hidden, 2 * b, x.dtype))
     else:
-        if return_state or state is not None:
-            out, final_state = jax.vmap(
-                lambda p, s: lstm(xin, p, unroll=unroll,
-                                  compute_dtype=compute_dtype, state=s,
-                                  return_state=True)
-            )(stacked, state if state is not None
-              else _zero_state(len(stacked), hidden, 2 * b, x.dtype))
-        else:
-            out = jax.vmap(
-                lambda p: lstm(xin, p, unroll=unroll,
-                               compute_dtype=compute_dtype)
-            )(stacked)
+        out = jax.vmap(
+            lambda p: lstm(xin, p, unroll=unroll,
+                           compute_dtype=compute_dtype)
+        )(stacked)
     # out: (2, 2B, T, H); [0] = lstm_re on [xr;xi], [1] = lstm_im on [xr;xi].
     out_re = out[0, :b] - out[1, b:]
     out_im = out[0, b:] + out[1, :b]

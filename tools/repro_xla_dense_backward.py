@@ -70,8 +70,12 @@ elif kind == "trainstep":
 
 
 def probe(args_list, timeout=900):
-    p = subprocess.run([sys.executable, "-c", _PROBE, *map(str, args_list)],
-                       capture_output=True, text=True, timeout=timeout)
+    try:
+        p = subprocess.run([sys.executable, "-c", _PROBE,
+                            *map(str, args_list)],
+                           capture_output=True, text=True, timeout=timeout)
+    except subprocess.TimeoutExpired:
+        return False, f"timeout {timeout}s (compile-service contention?)"
     ok = p.returncode == 0 and "OK" in p.stdout
     tail = (p.stdout + p.stderr)[-600:]
     return ok, tail
@@ -106,10 +110,7 @@ def main():
     if args.quick:
         grid = [(2, 4, 2)]
     for dim, zdim, batch in grid:
-        try:
-            ok, tail = probe(["trainstep", dim, zdim, batch], timeout=1500)
-        except subprocess.TimeoutExpired:
-            ok, tail = False, "timeout"
+        ok, tail = probe(["trainstep", dim, zdim, batch], timeout=1500)
         results["train_step"].append(
             {"encoder_dim_start": dim, "zdim": zdim, "batch": batch,
              "ok": ok, **({} if ok else {"error": tail})})
