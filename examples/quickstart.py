@@ -25,9 +25,11 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # The demo runs at tiny geometry, where CPU compiles in seconds; force
-# it (env vars don't beat this image's sitecustomize TPU plugin, and
-# tiny shapes can tickle TPU-compile corner cases not worth debugging
-# for a demo).
+# it (env vars don't beat this image's sitecustomize TPU plugin). TPU
+# would also work — the old tiny-batch XLA backward failure is cornered
+# and worked around (XLA_DENSE_REPRO.json, parallel/mesh.py
+# pad_small_tpu_batch) — but each remote TPU compile takes ~minutes,
+# wrong for a quick demo.
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")

@@ -33,6 +33,16 @@ def complex_dense(x: jnp.ndarray, params: dict, compute_dtype=None) -> jnp.ndarr
     Equivalent to one matmul with the block-diagonal weight
     ``[[wr, 0], [0, wi]]`` — expressed directly so XLA emits a single
     batched matmul per half without materializing zeros.
+
+    NOTE: the XLA:TPU post-optimization shape-check failure that train
+    steps hit at batch<8 (XLA_DENSE_REPRO.json) carries this line in its
+    metadata, but that attribution is post-fusion noise: reformulating
+    this op to flatten leading dims (single-axis bias-grad reduce) was
+    probed on TPU and did NOT change the failure, and the mis-shaped
+    instruction's dims match the first encoder conv's kernel grad
+    (kf=5, 2*C1), not any dense shape. See tools/
+    repro_xla_dense_backward.py; workaround lives in train/ (batch
+    padding), not here.
     """
     re, im = jnp.split(x, 2, axis=-1)
     wr, wi = params["wr"], params["wi"]

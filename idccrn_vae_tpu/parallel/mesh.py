@@ -17,6 +17,7 @@ unnecessary — everything fits per chip and DP is the right axis.
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence
 
 import jax
@@ -51,6 +52,36 @@ def _multiprocess(mesh: Mesh) -> bool:
     return jax.process_count() > 1 and mesh.devices.size > len(
         [d for d in mesh.devices.flat if d.process_index == jax.process_index()]
     )
+
+
+def pad_small_tpu_batch(mesh: Mesh, batch, min_per_device: int = 8):
+    """Work around an XLA:TPU backward miscompile at tiny per-chip batch.
+
+    Jitted train steps fail an XLA post-optimization shape check
+    whenever the per-device batch is < 8, at EVERY geometry including
+    zdim=128 (probed in tools/repro_xla_dense_backward.py /
+    XLA_DENSE_REPRO.json; reformulating the dense op did not help — the
+    mis-fused instruction is the first encoder conv's kernel grad).
+    Repeating the WHOLE batch k = ceil(8*n_dev/B) times sidesteps it:
+    uniform whole-batch repetition leaves every batch-MEAN loss,
+    gradient, and BN batch statistic unchanged (all losses in losses/
+    reduce by mean; duplicated rows draw fresh MC noise, which only
+    tightens the sampling estimate). No-op off-TPU or when the batch is
+    already big enough; escape hatch IDCCRN_NO_BATCH_PAD=1.
+    """
+    if jax.default_backend() != "tpu" or os.environ.get(
+            "IDCCRN_NO_BATCH_PAD"):
+        return batch
+    leaves = jax.tree.leaves(batch)
+    if not leaves:
+        return batch
+    b = int(leaves[0].shape[0])
+    n = mesh.devices.size
+    if b >= min_per_device * n:
+        return batch
+    k = -(-min_per_device * n // b)
+    return jax.tree.map(
+        lambda x: jax.numpy.concatenate([x] * k, axis=0), batch)
 
 
 def shard_batch(mesh: Mesh, batch):

@@ -27,7 +27,12 @@ from idccrn_vae_tpu.losses.nsvae_loss import NsvaeTrueKlLoss
 from idccrn_vae_tpu.models.config import DccrnConfig
 from idccrn_vae_tpu.models.nsvae import NsvaeEncoder
 from idccrn_vae_tpu.models.vae import VaeEncoder
-from idccrn_vae_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from idccrn_vae_tpu.parallel.mesh import (
+    make_mesh,
+    pad_small_tpu_batch,
+    replicate,
+    shard_batch,
+)
 from idccrn_vae_tpu.train.checkpoint import CheckpointManager
 from idccrn_vae_tpu.train.loop import run_training
 from idccrn_vae_tpu.train.optim import PlateauScheduler, make_adam
@@ -133,13 +138,17 @@ class NsvaeTrainer:
 
     def train_step(self, state, batch, rng, epoch: int):
         noisy, clean, noise = (
-            shard_batch(self.mesh, jnp.asarray(b, jnp.float32)) for b in batch
+            shard_batch(self.mesh, b) for b in pad_small_tpu_batch(
+                self.mesh,
+                tuple(jnp.asarray(b, jnp.float32) for b in batch))
         )
         return self._jit_step(state, noisy, clean, noise, rng, train=True)
 
     def eval_step(self, state, batch, rng, epoch: int):
         noisy, clean, noise = (
-            shard_batch(self.mesh, jnp.asarray(b, jnp.float32)) for b in batch
+            shard_batch(self.mesh, b) for b in pad_small_tpu_batch(
+                self.mesh,
+                tuple(jnp.asarray(b, jnp.float32) for b in batch))
         )
         _, metrics = self._jit_step(state, noisy, clean, noise, rng,
                                     train=False)

@@ -30,7 +30,12 @@ from idccrn_vae_tpu.models.discriminator import Discriminator
 from idccrn_vae_tpu.models.nsvae import NsvaeEncoder, split_noisy_skips
 from idccrn_vae_tpu.models.vae import VaeDecoder
 from idccrn_vae_tpu.ops.stft import stft
-from idccrn_vae_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from idccrn_vae_tpu.parallel.mesh import (
+    make_mesh,
+    pad_small_tpu_batch,
+    replicate,
+    shard_batch,
+)
 from idccrn_vae_tpu.train.checkpoint import CheckpointManager
 from idccrn_vae_tpu.train.loop import run_training
 from idccrn_vae_tpu.train.optim import PlateauScheduler, make_adam
@@ -257,7 +262,9 @@ class Phase2Trainer:
 
     def train_step(self, state, batch, rng, epoch: int, batch_idx: int = 0):
         noisy, clean, noise = (
-            shard_batch(self.mesh, jnp.asarray(b, jnp.float32)) for b in batch
+            shard_batch(self.mesh, b) for b in pad_small_tpu_batch(
+                self.mesh,
+                tuple(jnp.asarray(b, jnp.float32) for b in batch))
         )
         update_d = self.adversarial and (self._batch_counter % self.d_step == 0)
         self._batch_counter += 1
@@ -266,7 +273,9 @@ class Phase2Trainer:
 
     def eval_step(self, state, batch, rng, epoch: int):
         noisy, clean, noise = (
-            shard_batch(self.mesh, jnp.asarray(b, jnp.float32)) for b in batch
+            shard_batch(self.mesh, b) for b in pad_small_tpu_batch(
+                self.mesh,
+                tuple(jnp.asarray(b, jnp.float32) for b in batch))
         )
         _, metrics = self._jit_step(state, noisy, clean, noise, rng,
                                     train=False, update_d=False)

@@ -18,7 +18,12 @@ import optax
 from idccrn_vae_tpu.losses.phase2 import EteTrainSeLoss
 from idccrn_vae_tpu.models.config import DccrnConfig
 from idccrn_vae_tpu.models.dccrn import SupervisedDccrn
-from idccrn_vae_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from idccrn_vae_tpu.parallel.mesh import (
+    make_mesh,
+    pad_small_tpu_batch,
+    replicate,
+    shard_batch,
+)
 from idccrn_vae_tpu.train.checkpoint import (
     CheckpointManager,
     datanorm_to_meta,
@@ -88,15 +93,17 @@ class SupervisedTrainer:
         return state, metrics
 
     def train_step(self, state, batch, rng, epoch: int):
-        noisy, clean = batch
-        noisy = shard_batch(self.mesh, jnp.asarray(noisy, jnp.float32))
-        clean = shard_batch(self.mesh, jnp.asarray(clean, jnp.float32))
+        noisy, clean = pad_small_tpu_batch(
+            self.mesh, tuple(jnp.asarray(b, jnp.float32) for b in batch))
+        noisy = shard_batch(self.mesh, noisy)
+        clean = shard_batch(self.mesh, clean)
         return self._jit_step(state, noisy, clean, train=True)
 
     def eval_step(self, state, batch, rng, epoch: int):
-        noisy, clean = batch
-        noisy = shard_batch(self.mesh, jnp.asarray(noisy, jnp.float32))
-        clean = shard_batch(self.mesh, jnp.asarray(clean, jnp.float32))
+        noisy, clean = pad_small_tpu_batch(
+            self.mesh, tuple(jnp.asarray(b, jnp.float32) for b in batch))
+        noisy = shard_batch(self.mesh, noisy)
+        clean = shard_batch(self.mesh, clean)
         _, metrics = self._jit_step(state, noisy, clean, train=False)
         return metrics
 

@@ -184,3 +184,33 @@ def test_phase2_double_channel_step():
     batch = (_wav(20), _wav(21), _wav(22))
     s1, m1 = tr.train_step(state, batch, jax.random.PRNGKey(0), 0)
     assert np.isfinite(m1["total"])
+
+
+def test_pad_small_tpu_batch():
+    """The B<8 TPU workaround tiles the whole batch; no-op off-TPU.
+
+    Uniform whole-batch repetition must keep batch-mean statistics
+    exactly (XLA_DENSE_REPRO.json / parallel/mesh.py)."""
+    from idccrn_vae_tpu.parallel import mesh as mesh_mod
+
+    m = make_mesh(1)
+    batch = (np.random.default_rng(0).standard_normal((3, 50)).astype("f"),
+             np.ones((3, 50), "f"))
+    # CPU backend (the suite forces cpu): must be a pass-through
+    out = mesh_mod.pad_small_tpu_batch(m, batch)
+    assert out is batch
+
+    # simulate TPU: tile k=ceil(8/3)=3 -> B=9, means preserved
+    orig_backend = mesh_mod.jax.default_backend
+    mesh_mod.jax.default_backend = lambda: "tpu"
+    try:
+        a, b = mesh_mod.pad_small_tpu_batch(
+            m, tuple(mesh_mod.jax.numpy.asarray(x) for x in batch))
+        assert a.shape == (9, 50) and b.shape == (9, 50)
+        np.testing.assert_allclose(np.asarray(a).mean(0),
+                                   batch[0].mean(0), rtol=1e-6)
+        # big batch: untouched
+        big = mesh_mod.jax.numpy.ones((8, 4))
+        assert mesh_mod.pad_small_tpu_batch(m, big) is big
+    finally:
+        mesh_mod.jax.default_backend = orig_backend

@@ -87,6 +87,9 @@ def main():
                                                   "XLA_DENSE_REPRO.json"))
     ap.add_argument("--quick", action="store_true",
                     help="train-step sweep only at the known-bad point")
+    ap.add_argument("--key", default=None,
+                    help="merge results into OUT under this top-level key "
+                         "(preserving other keys), e.g. after_flatten_fix")
     args = ap.parse_args()
 
     results = {"dense_op": [], "train_step": []}
@@ -120,6 +123,13 @@ def main():
     import jax
 
     results["device"] = str(jax.devices()[0])
+    if args.key:
+        merged = {}
+        if os.path.exists(args.out):
+            with open(args.out) as f:
+                merged = json.load(f)
+        merged[args.key] = results
+        results = merged
     with open(args.out, "w") as f:
         json.dump(results, f, indent=1)
     print(f"wrote {args.out}")
