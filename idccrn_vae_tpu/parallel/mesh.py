@@ -75,11 +75,13 @@ def pad_small_tpu_batch(mesh: Mesh, batch, min_per_device: int = 8):
     leaves = jax.tree.leaves(batch)
     if not leaves:
         return batch
-    b = int(leaves[0].shape[0])
-    n = mesh.devices.size
-    if b >= min_per_device * n:
+    b = int(leaves[0].shape[0])  # process-local batch
+    # rows each chip ends up with: global batch / global device count
+    chips_per_process = max(1, mesh.devices.size // jax.process_count())
+    per_chip = b // chips_per_process
+    if per_chip >= min_per_device:
         return batch
-    k = -(-min_per_device * n // b)
+    k = -(-min_per_device // max(1, per_chip))
     return jax.tree.map(
         lambda x: jax.numpy.concatenate([x] * k, axis=0), batch)
 
