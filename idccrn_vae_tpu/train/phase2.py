@@ -69,6 +69,7 @@ class Phase2Trainer:
         weight_decay: float = 1e-3,
         mesh=None,
         seed: int = 123,
+        split_adv_step: Optional[bool] = None,
     ):
         self.enc_cfg = enc_cfg
         self.dec_cfg = dec_cfg
@@ -92,7 +93,21 @@ class Phase2Trainer:
         self._batch_counter = 0
         self._mask = None
         self._jit_step = jax.jit(
-            self._step, static_argnames=("train", "update_d"))
+            self._step, static_argnames=("train", "update_d", "return_pair"))
+        # Adversarial G and D updates as TWO jitted programs instead of
+        # one fused step. Numerically identical (the D step consumes
+        # stop_grad(recon), clean_t and the PRE-step dis params/stats in
+        # both forms) but XLA never holds both backward graphs in one
+        # program: the fused step exceeds v5e HBM at the reference
+        # batch 15 (remote-compile HTTP 500, an OOM proxy —
+        # COMPILE500_PROBE.json) while the split programs compile at
+        # ~14G each and run 795 ms/step = 56.6 audio-s/s, 3x the fused
+        # path's B=8 throughput. Default: on for TPU, off elsewhere.
+        if split_adv_step is None:
+            split_adv_step = jax.default_backend() == "tpu"
+        self.split_adv = bool(adversarial and split_adv_step)
+        if adversarial:
+            self._jit_d = jax.jit(self._d_step)
 
     def init_state(self, rng=None, pretrained: Optional[dict] = None):
         rng = jax.random.PRNGKey(self.seed) if rng is None else rng
@@ -163,7 +178,7 @@ class Phase2Trainer:
         return (recon_c, pred_c, clean_t, clean_spec_t, dstats, extras)
 
     def _step(self, state, noisy, clean, noise, rng, train: bool = True,
-              update_d: bool = False):
+              update_d: bool = False, return_pair: bool = False):
         models = state["models"]
 
         def gen_loss_fn(tparams):
@@ -258,7 +273,35 @@ class Phase2Trainer:
                     "stats": dis_stats}
                 new_state["opt_dis"] = opt_dis
                 metrics["dis"] = d_lo
+        if return_pair:
+            return (new_state, metrics, jax.lax.stop_gradient(recon_c),
+                    clean_t)
         return new_state, metrics
+
+    def _d_step(self, state, est, clean_t):
+        """Standalone discriminator update (split adversarial program).
+
+        Exactly the fused step's update_d block: D loss on (clean_t,
+        est) with the pre-step dis params/stats; BN stats kept from the
+        est pass (reference train_second_phase_adversarial.py:254-325)."""
+        models = state["models"]
+
+        def d_loss_fn(dparams):
+            dvars = {"params": dparams, "stats": models["dis"]["stats"]}
+            s_true, _ = self.discriminator.apply(dvars, clean_t, train=True)
+            s_est, st2 = self.discriminator.apply(dvars, est, train=True)
+            return self.adv_loss.discriminator_loss(s_true, s_est), st2
+
+        (d_lo, dis_stats), d_grads = jax.value_and_grad(
+            d_loss_fn, has_aux=True)(models["dis"]["params"])
+        d_updates, opt_dis = self.tx_dis.update(
+            d_grads, state["opt_dis"], models["dis"]["params"])
+        new_models = dict(models)
+        new_models["dis"] = {
+            "params": optax.apply_updates(models["dis"]["params"], d_updates),
+            "stats": dis_stats}
+        return ({"models": new_models, "opt": state["opt"],
+                 "opt_dis": opt_dis}, d_lo)
 
     def train_step(self, state, batch, rng, epoch: int, batch_idx: int = 0):
         noisy, clean, noise = (
@@ -268,6 +311,17 @@ class Phase2Trainer:
         )
         update_d = self.adversarial and (self._batch_counter % self.d_step == 0)
         self._batch_counter += 1
+        if self.split_adv:
+            # one G-program specialization regardless of update_d (the
+            # extra outputs are device-resident and ~free to return)
+            new_state, metrics, est, clean_t = self._jit_step(
+                state, noisy, clean, noise, rng, train=True,
+                update_d=False, return_pair=True)
+            if update_d:
+                new_state, d_lo = self._jit_d(new_state, est, clean_t)
+                metrics = dict(metrics)
+                metrics["dis"] = d_lo
+            return new_state, metrics
         return self._jit_step(state, noisy, clean, noise, rng, train=True,
                               update_d=update_d)
 

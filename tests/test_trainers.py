@@ -214,3 +214,33 @@ def test_pad_small_tpu_batch():
         assert mesh_mod.pad_small_tpu_batch(m, big) is big
     finally:
         mesh_mod.jax.default_backend = orig_backend
+
+
+def test_phase2_split_adv_equals_fused():
+    """Split G/D programs == the fused adversarial step (train/phase2.py
+    _d_step). The split form is what ships on TPU (fused exceeds HBM at
+    B=15 — COMPILE500_PROBE.json); equivalence is the contract."""
+    enc_cfg = dataclasses.replace(TINY, latent_num=1)
+    dec_cfg = dataclasses.replace(TINY, latent_num=1, skip_mode="runtime",
+                                  recon_type="mask")
+    loss = TwoPhaseLoss((1.0, 1.0, 0.0), alpha=1.0, latent_num=1)
+    batch = (_wav(11), _wav(12), _wav(13))
+
+    def run(split):
+        tr = Phase2Trainer(enc_cfg, dec_cfg, loss, 1e-3, adversarial=True,
+                           dis_lr=1e-4, d_step=1, split_adv_step=split)
+        state = tr.init_state()
+        for i in range(2):
+            state, m = tr.train_step(state, batch, jax.random.PRNGKey(i), 0)
+        return state, m
+
+    s_f, m_f = run(False)
+    s_s, m_s = run(True)
+    assert set(m_f) == set(m_s)
+    for k in m_f:
+        np.testing.assert_allclose(float(m_f[k]), float(m_s[k]),
+                                   rtol=1e-5, atol=1e-6, err_msg=k)
+    for a, b in zip(jax.tree.leaves(s_f["models"]),
+                    jax.tree.leaves(s_s["models"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
