@@ -125,9 +125,16 @@ def test_nsvae_mesh8_matches_mesh1_with_partial_freeze():
                        s1b["models"]["noisy_enc"]["stats"], atol=1e-5)
 
 
-def test_phase2_adversarial_mesh8_matches_mesh1():
+import pytest
+
+
+@pytest.mark.parametrize("split", [False, True],
+                         ids=["fused", "split_gd"])
+def test_phase2_adversarial_mesh8_matches_mesh1(split):
     """Phase2 adversarial + skip_layer mask: masked decoder updates,
-    stop_gradient'd D step, and d_step interleave reduce identically."""
+    stop_gradient'd D step, and d_step interleave reduce identically.
+    Covered for BOTH step forms — the fused single program and the
+    split G/D programs that ship on TPU (train/phase2.py split_adv)."""
     batch = _wavs(8, seed=2, count=3)
     enc_cfg = dataclasses.replace(TINY, latent_num=1)
     dec_cfg = dataclasses.replace(TINY, latent_num=1, skip_mode="runtime",
@@ -137,7 +144,8 @@ def test_phase2_adversarial_mesh8_matches_mesh1():
         loss = TwoPhaseLoss((1.0, 1.0, 0.0), alpha=1.0, latent_num=1)
         tr = Phase2Trainer(enc_cfg, dec_cfg, loss, 1e-3, adversarial=True,
                            dis_lr=1e-3, d_step=1,
-                           decode_update="skip_layer", mesh=mesh)
+                           decode_update="skip_layer", mesh=mesh,
+                           split_adv_step=split)
         tr.tx = optax.sgd(1e-3)
         tr.tx_dis = optax.sgd(1e-3)
         return tr

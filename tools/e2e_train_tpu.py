@@ -187,7 +187,8 @@ def main():
                     help="multiply every stage's epoch count")
     ap.add_argument("--out", default=os.path.join(REPO, "E2E_TRAIN.json"))
     ap.add_argument("--skip-corpus", action="store_true")
-    ap.add_argument("--stages", default="cvae,nvae,nsvae,p2,eval",
+    ap.add_argument("--stages",
+                    default="cvae,nvae,nsvae,p2,p2adv,eval,evaladv",
                     help="comma list of stages to (re)run")
     args = ap.parse_args()
 
@@ -273,14 +274,32 @@ def main():
                       "--latent_num", "1"])
         record("p2", time.time() - t0, latest(root, "p2"))
 
-    if "eval" in stages:
+    if "p2adv" in stages:
+        from idccrn_vae_tpu.cli.train_phase2 import main as train_phase2
+
+        # B=15 is the reference's adversarial batch; the fused G+D
+        # program exceeds v5e HBM there (COMPILE500_PROBE.json) — this
+        # leg runs ONLY because Phase2Trainer defaults to the split
+        # G/D programs on TPU (train/phase2.py split_adv).
+        print("== phase-2 adversarial decoder fine-tune ==", flush=True)
+        t0 = time.time()
+        train_phase2(["--cfg_file",
+                      write_ini(root, dirs, "p2adv", "phase2_adversarial",
+                                15, max(2, int(25 * sc))),
+                      *GEO, "--first_phase_folder", latest(root, "nsvae"),
+                      "--use_sc_phase2", "--recon_type", "mask",
+                      "--latent_num", "1", "--adversarial",
+                      "--dlr", "1e-4", "--d_step", "3"])
+        record("p2adv", time.time() - t0, latest(root, "p2adv"))
+
+    def run_eval(stage, model_name, out_name):
         from idccrn_vae_tpu.cli.test_enhance import main as test_enhance
 
-        print("== held-out enhancement eval ==", flush=True)
-        out_dir = os.path.join(root, "eval_p2")
+        print(f"== held-out enhancement eval ({model_name}) ==", flush=True)
+        out_dir = os.path.join(root, out_name)
         t0 = time.time()
-        test_enhance(["--nsvae_dir", latest(root, "p2"), "--phase", "2",
-                      "--noisy_dir", dirs["noisy_val"],
+        test_enhance(["--nsvae_dir", latest(root, model_name), "--phase",
+                      "2", "--noisy_dir", dirs["noisy_val"],
                       "--clean_dir", dirs["clean_val"],
                       "--out_dir", out_dir, "--num_samples", "10",
                       "--batch_size", "12", "--compute", "bf16",
@@ -290,7 +309,7 @@ def main():
             summary = json.load(f)
         deltas = {k: round(v["mean"], 4)
                   for k, v in summary.get("delta", {}).items()}
-        record("eval", wall, extra={
+        record(stage, wall, extra={
             "summary": summary.get("summary"),
             "noisy_summary": summary.get("noisy_summary"),
             "delta_vs_noisy": deltas,
@@ -299,6 +318,11 @@ def main():
         ok = deltas.get("sisdr", -1) > 0
         print(f"deltas vs noisy: {deltas}  ->  "
               f"{'POSITIVE SI-SNR GAIN' if ok else 'NO GAIN YET'}")
+
+    if "eval" in stages:
+        run_eval("eval", "p2", "eval_p2")
+    if "evaladv" in stages:
+        run_eval("evaladv", "p2adv", "eval_p2adv")
     print(f"report: {report_path}")
 
 
