@@ -188,7 +188,7 @@ def main():
     ap.add_argument("--out", default=os.path.join(REPO, "E2E_TRAIN.json"))
     ap.add_argument("--skip-corpus", action="store_true")
     ap.add_argument("--stages",
-                    default="cvae,nvae,nsvae,p2,p2adv,eval,evaladv",
+                    default="cvae,nvae,nsvae,p2,p2adv,eval,evaladv,dnsmos",
                     help="comma list of stages to (re)run")
     args = ap.parse_args()
 
@@ -323,6 +323,42 @@ def main():
         run_eval("eval", "p2", "eval_p2")
     if "evaladv" in stages:
         run_eval("evaladv", "p2adv", "eval_p2adv")
+
+    if "dnsmos" in stages:
+        # Reference-free MOS of the TPU-trained enhancers vs their noisy
+        # input, through the native ONNX executor (the reference's
+        # DNSMOS/dnsmos_local.py surface) — ties the DNSMOS subsystem to
+        # a real trained artifact, not just pinned goldens.
+        from idccrn_vae_tpu.eval.dnsmos import (ComputeScore,
+                                                default_model_paths)
+
+        primary, p808 = default_model_paths(False)
+        scorer = ComputeScore(primary, p808)
+        # The native numpy ONNX executor runs ~35 s/utt on this 1-CPU
+        # host; score a deterministic 8-file subset per condition (the
+        # SAME fileids in every dir, so deltas are paired).
+        n_files = 8
+        print("== DNSMOS scoring (native ONNX executor) ==", flush=True)
+        t0 = time.time()
+        entry = {"files_per_dir": n_files}
+        for tag, d in (("noisy", dirs["noisy_val"]),
+                       ("enhanced_p2", os.path.join(root, "eval_p2",
+                                                    "enhanced")),
+                       ("enhanced_p2adv", os.path.join(root, "eval_p2adv",
+                                                       "enhanced"))):
+            if not os.path.isdir(d):
+                continue
+            wavs = sorted(f for f in os.listdir(d) if f.endswith(".wav"))
+            rows = [scorer(os.path.join(d, f)) for f in wavs[:n_files]]
+            entry[tag] = {k: round(float(np.mean([r[k] for r in rows])), 4)
+                          for k in ("OVRL", "SIG", "BAK", "P808_MOS")}
+            print(f"  {tag}: {entry[tag]}", flush=True)
+        for tag in ("enhanced_p2", "enhanced_p2adv"):
+            if tag in entry:
+                entry[f"delta_{tag}"] = {
+                    k: round(entry[tag][k] - entry["noisy"][k], 4)
+                    for k in entry[tag]}
+        record("dnsmos", time.time() - t0, extra=entry)
     print(f"report: {report_path}")
 
 
