@@ -188,7 +188,8 @@ def main():
     ap.add_argument("--out", default=os.path.join(REPO, "E2E_TRAIN.json"))
     ap.add_argument("--skip-corpus", action="store_true")
     ap.add_argument("--stages",
-                    default="cvae,nvae,nsvae,p2,p2adv,eval,evaladv,dnsmos",
+                    default="cvae,nvae,nsvae,p2,p2adv,eval,evaladv,"
+                            "sup,evalsup,dnsmos",
                     help="comma list of stages to (re)run")
     args = ap.parse_args()
 
@@ -323,6 +324,48 @@ def main():
         run_eval("eval", "p2", "eval_p2")
     if "evaladv" in stages:
         run_eval("evaladv", "p2adv", "eval_p2adv")
+
+    if "sup" in stages:
+        # The reference's published comparison is I-DCCRN-VAE vs the
+        # supervised DCCRN baseline (SURVEY §6) — train the baseline on
+        # the same corpus so the comparison exists here too.
+        from idccrn_vae_tpu.cli.train_supervised import main as train_sup
+
+        print("== supervised DCCRN baseline ==", flush=True)
+        t0 = time.time()
+        train_sup(["--cfg_file",
+                   write_ini(root, dirs, "sup", "supervised_DCCRN", 16,
+                             max(2, int(25 * sc))),
+                   *GEO, "--recon_type", "mask"])
+        record("sup", time.time() - t0, latest(root, "sup"))
+
+    if "evalsup" in stages:
+        from idccrn_vae_tpu.cli.test_supervised import main as test_sup
+
+        print("== held-out enhancement eval (supervised) ==", flush=True)
+        out_dir = os.path.join(root, "eval_sup")
+        t0 = time.time()
+        test_sup(["--model_dir", latest(root, "sup"),
+                  "--noisy_dir", dirs["noisy_val"],
+                  "--clean_dir", dirs["clean_val"],
+                  "--out_dir", out_dir, "--batch_size", "12",
+                  "--write_wavs"])
+        wall = time.time() - t0
+        with open(os.path.join(out_dir, "summary.json")) as f:
+            summary = json.load(f)
+        # supervised eval has no noisy baseline of its own — pair it
+        # with the noisy_summary the phase-2 eval stage recorded (the
+        # val split and scorer are identical).
+        noisy = report["stages"].get("eval", {}).get("noisy_summary", {})
+        deltas = {k: round(summary["summary"][k]["mean"]
+                           - noisy[k]["mean"], 4)
+                  for k in summary.get("summary", {}) if k in noisy}
+        record("evalsup", wall, extra={
+            "summary": summary.get("summary"),
+            "delta_vs_noisy": deltas,
+            "provenance": summary.get("provenance"),
+        })
+        print(f"supervised deltas vs noisy: {deltas}")
 
     if "dnsmos" in stages:
         # Reference-free MOS of the TPU-trained enhancers vs their noisy
