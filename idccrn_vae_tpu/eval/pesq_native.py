@@ -233,7 +233,24 @@ def _frames(x):
 def _pitch_power_densities(x):
     """(T, NB) pitch power densities: unnormalized |FFT|^2 of Hann
     frames, grouped to Bark bands, * pow_dens_correction * Sp
-    (P.862 short_term_fft + freq_warping)."""
+    (P.862 short_term_fft + freq_warping).
+
+    CALIBRATION NOTE (probed round 3 — do not "fix" this again): the
+    UNNORMALIZED power spectrum is correct here. A review pass
+    conjectured the vendored ITU constants assume a 1/NFFT-scaled FFT
+    (the silent-frame criterion compares total audible power against
+    1e7, and active frames run ~5e9). Dividing by NFFT was tried and
+    makes the metric provably WRONG against external anchors: 20 dB
+    white noise scores 4.08 (published PESQ-WB for white noise at
+    20 dB SNR is ~2), replacing the degraded signal with silence
+    scores 3.79 (real PESQ: ~1.0-1.6), and noisy-speech testset means
+    come out ~2.5-3.0 where published noisy baselines are 1.58 (DNS,
+    0-25 dB) / 1.97 (VB-DMD, 2.5-17.5 dB). The unnormalized curve
+    (1.04 / 1.18 / 1.75 / 2.46 / 3.01 at 0/10/20/30/40 dB white noise)
+    tracks those anchors; the 1e7 silent threshold is a GATE far below
+    active-frame power (ITU total_audible at factor 1e2), not a target
+    the active frames sit at. tests/test_pesq_native.py::
+    test_external_snr_anchor_band pins this calibration."""
     w = 0.5 * (1.0 - np.cos(2.0 * np.pi * np.arange(NFFT) / NFFT))
     fr = _frames(x) * w
     spec = np.fft.rfft(fr, axis=1)

@@ -67,10 +67,12 @@ def pad_small_tpu_batch(mesh: Mesh, batch, min_per_device: int = 8):
     gradient, and BN batch statistic unchanged (all losses in losses/
     reduce by mean; duplicated rows draw fresh MC noise, which only
     tightens the sampling estimate). No-op off-TPU or when the batch is
-    already big enough; escape hatch IDCCRN_NO_BATCH_PAD=1.
+    already big enough and evenly shardable; escape hatch
+    IDCCRN_NO_BATCH_PAD=1 (=0/unset keeps padding on).
     """
-    if jax.default_backend() != "tpu" or os.environ.get(
-            "IDCCRN_NO_BATCH_PAD"):
+    if (jax.default_backend() != "tpu"
+            or os.environ.get("IDCCRN_NO_BATCH_PAD", "")
+            not in ("", "0", "false", "False")):
         return batch
     leaves = jax.tree.leaves(batch)
     if not leaves:
@@ -78,12 +80,28 @@ def pad_small_tpu_batch(mesh: Mesh, batch, min_per_device: int = 8):
     b = int(leaves[0].shape[0])  # process-local batch
     # rows each chip ends up with: global batch / global device count
     chips_per_process = max(1, mesh.devices.size // jax.process_count())
-    per_chip = b // chips_per_process
-    if per_chip >= min_per_device:
+    if b % chips_per_process == 0 and b // chips_per_process >= min_per_device:
         return batch
-    k = -(-min_per_device // max(1, per_chip))
+    # smallest whole-batch repetition k with k*b/chips >= min_per_device
+    # AND k*b evenly shardable over the chips (b < chips_per_process
+    # floors per_chip to 0 — compute k from the global requirement, not
+    # from ceil(min/per_chip))
+    k = -(-(min_per_device * chips_per_process) // b)
+    while (k * b) % chips_per_process:
+        k += 1
     return jax.tree.map(
         lambda x: jax.numpy.concatenate([x] * k, axis=0), batch)
+
+
+def pad_and_shard(mesh: Mesh, batch, min_per_device: int = 8):
+    """The sequence every trainer step wrapper needs, in one place:
+    float32 asarray -> pad_small_tpu_batch (the B<8 TPU workaround) ->
+    shard_batch. Single-sourcing it means the padding contract has ONE
+    implementation to fix/verify, not eight hand-rolled copies."""
+    batch = jax.tree.map(lambda x: jax.numpy.asarray(x, jax.numpy.float32),
+                         batch)
+    return shard_batch(mesh, pad_small_tpu_batch(mesh, batch,
+                                                 min_per_device))
 
 
 def shard_batch(mesh: Mesh, batch):

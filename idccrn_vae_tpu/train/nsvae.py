@@ -20,7 +20,6 @@ from dataclasses import asdict
 from typing import Dict, Optional
 
 import jax
-import jax.numpy as jnp
 import optax
 
 from idccrn_vae_tpu.losses.nsvae_loss import NsvaeTrueKlLoss
@@ -29,9 +28,8 @@ from idccrn_vae_tpu.models.nsvae import NsvaeEncoder
 from idccrn_vae_tpu.models.vae import VaeEncoder
 from idccrn_vae_tpu.parallel.mesh import (
     make_mesh,
-    pad_small_tpu_batch,
+    pad_and_shard,
     replicate,
-    shard_batch,
 )
 from idccrn_vae_tpu.train.checkpoint import CheckpointManager
 from idccrn_vae_tpu.train.loop import run_training
@@ -137,19 +135,11 @@ class NsvaeTrainer:
         return state, metrics
 
     def train_step(self, state, batch, rng, epoch: int):
-        noisy, clean, noise = (
-            shard_batch(self.mesh, b) for b in pad_small_tpu_batch(
-                self.mesh,
-                tuple(jnp.asarray(b, jnp.float32) for b in batch))
-        )
+        noisy, clean, noise = pad_and_shard(self.mesh, tuple(batch))
         return self._jit_step(state, noisy, clean, noise, rng, train=True)
 
     def eval_step(self, state, batch, rng, epoch: int):
-        noisy, clean, noise = (
-            shard_batch(self.mesh, b) for b in pad_small_tpu_batch(
-                self.mesh,
-                tuple(jnp.asarray(b, jnp.float32) for b in batch))
-        )
+        noisy, clean, noise = pad_and_shard(self.mesh, tuple(batch))
         _, metrics = self._jit_step(state, noisy, clean, noise, rng,
                                     train=False)
         return metrics

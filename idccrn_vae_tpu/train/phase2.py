@@ -32,9 +32,8 @@ from idccrn_vae_tpu.models.vae import VaeDecoder
 from idccrn_vae_tpu.ops.stft import stft
 from idccrn_vae_tpu.parallel.mesh import (
     make_mesh,
-    pad_small_tpu_batch,
+    pad_and_shard,
     replicate,
-    shard_batch,
 )
 from idccrn_vae_tpu.train.checkpoint import CheckpointManager
 from idccrn_vae_tpu.train.loop import run_training
@@ -304,11 +303,7 @@ class Phase2Trainer:
                  "opt_dis": opt_dis}, d_lo)
 
     def train_step(self, state, batch, rng, epoch: int, batch_idx: int = 0):
-        noisy, clean, noise = (
-            shard_batch(self.mesh, b) for b in pad_small_tpu_batch(
-                self.mesh,
-                tuple(jnp.asarray(b, jnp.float32) for b in batch))
-        )
+        noisy, clean, noise = pad_and_shard(self.mesh, tuple(batch))
         update_d = self.adversarial and (self._batch_counter % self.d_step == 0)
         self._batch_counter += 1
         if self.split_adv:
@@ -326,11 +321,7 @@ class Phase2Trainer:
                               update_d=update_d)
 
     def eval_step(self, state, batch, rng, epoch: int):
-        noisy, clean, noise = (
-            shard_batch(self.mesh, b) for b in pad_small_tpu_batch(
-                self.mesh,
-                tuple(jnp.asarray(b, jnp.float32) for b in batch))
-        )
+        noisy, clean, noise = pad_and_shard(self.mesh, tuple(batch))
         _, metrics = self._jit_step(state, noisy, clean, noise, rng,
                                     train=False, update_d=False)
         return metrics

@@ -22,9 +22,8 @@ from idccrn_vae_tpu.models.config import DccrnConfig
 from idccrn_vae_tpu.models.vae import VaeDecoder, VaeEncoder
 from idccrn_vae_tpu.parallel.mesh import (
     make_mesh,
-    pad_small_tpu_batch,
+    pad_and_shard,
     replicate,
-    shard_batch,
 )
 from idccrn_vae_tpu.train.checkpoint import (
     CheckpointManager,
@@ -137,14 +136,12 @@ class PretrainTrainer:
 
     # -- public step wrappers ----------------------------------------------
     def train_step(self, state, batch, rng, epoch: int):
-        wav = pad_small_tpu_batch(self.mesh, jnp.asarray(batch, jnp.float32))
-        wav = shard_batch(self.mesh, wav)
+        wav = pad_and_shard(self.mesh, batch)
         kl_w = jnp.asarray(self.loss.kl_weight_at(epoch), jnp.float32)
         return self._train_step(state, wav, rng, kl_w, train=True)
 
     def eval_step(self, state, batch, rng, epoch: int):
-        wav = pad_small_tpu_batch(self.mesh, jnp.asarray(batch, jnp.float32))
-        wav = shard_batch(self.mesh, wav)
+        wav = pad_and_shard(self.mesh, batch)
         kl_w = jnp.asarray(self.loss.kl_weight_at(epoch), jnp.float32)
         _, metrics = self._train_step(state, wav, rng, kl_w, train=False)
         return metrics

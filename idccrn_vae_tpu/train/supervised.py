@@ -20,9 +20,8 @@ from idccrn_vae_tpu.models.config import DccrnConfig
 from idccrn_vae_tpu.models.dccrn import SupervisedDccrn
 from idccrn_vae_tpu.parallel.mesh import (
     make_mesh,
-    pad_small_tpu_batch,
+    pad_and_shard,
     replicate,
-    shard_batch,
 )
 from idccrn_vae_tpu.train.checkpoint import (
     CheckpointManager,
@@ -93,17 +92,11 @@ class SupervisedTrainer:
         return state, metrics
 
     def train_step(self, state, batch, rng, epoch: int):
-        noisy, clean = pad_small_tpu_batch(
-            self.mesh, tuple(jnp.asarray(b, jnp.float32) for b in batch))
-        noisy = shard_batch(self.mesh, noisy)
-        clean = shard_batch(self.mesh, clean)
+        noisy, clean = pad_and_shard(self.mesh, tuple(batch))
         return self._jit_step(state, noisy, clean, train=True)
 
     def eval_step(self, state, batch, rng, epoch: int):
-        noisy, clean = pad_small_tpu_batch(
-            self.mesh, tuple(jnp.asarray(b, jnp.float32) for b in batch))
-        noisy = shard_batch(self.mesh, noisy)
-        clean = shard_batch(self.mesh, clean)
+        noisy, clean = pad_and_shard(self.mesh, tuple(batch))
         _, metrics = self._jit_step(state, noisy, clean, train=False)
         return metrics
 

@@ -146,6 +146,26 @@ def test_silence_degradation_scores_low():
     assert pesq_wb_native(sp, np.zeros_like(sp) + 1e-8) < 2.0
 
 
+def test_external_snr_anchor_band():
+    """Calibration guard with EXTERNAL provenance (round-3 probe; see
+    the _pitch_power_densities docstring). Published PESQ-WB anchors:
+    white noise at 20 dB SNR scores ~2 (not ~4), noisy testset means
+    are 1.58 (DNS, 0-25 dB real noises) / 1.97 (VB-DMD, 2.5-17.5 dB),
+    i.e. raw noisy speech at 0-10 dB sits near the raw-score floor.
+    These bands reject both miscalibrations seen in development: the
+    regenerated-tables build (~4x hot -> 20 dB scored ~1.1) and a
+    conjectured 1/NFFT FFT normalization (20 dB scored 4.08, silence
+    as degraded scored 3.79). Bands are deliberately wide — they pin
+    the POWER CALIBRATION, not the exact MOS."""
+    sp, rng = _speechish(7)
+    s = {snr: pesq_wb_native(sp, _add_noise(sp, rng, snr))
+         for snr in (40, 20, 0)}
+    assert 1.35 < s[20] < 2.6, s       # white noise @20 dB ~ 2
+    assert 2.5 < s[40] < 4.45, s       # audible-but-mild, NOT transparent
+    assert s[0] < 1.4, s               # 0 dB white noise ~ floor
+    assert s[40] - s[0] > 1.5, s       # dynamic range across the curve
+
+
 # ---------------------------------------------------------------------------
 # recorded goldens (regression pins for this implementation)
 # ---------------------------------------------------------------------------

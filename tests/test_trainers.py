@@ -1,6 +1,7 @@
 """End-to-end trainer smoke tests on tiny geometry + virtual 8-dev mesh."""
 
 import dataclasses
+import os
 
 import jax
 import numpy as np
@@ -212,6 +213,29 @@ def test_pad_small_tpu_batch():
         # big batch: untouched
         big = mesh_mod.jax.numpy.ones((8, 4))
         assert mesh_mod.pad_small_tpu_batch(m, big) is big
+
+        # batch SMALLER than the chip count: the per-chip row count
+        # must still reach min_per_device, and the padded batch must
+        # shard evenly (regression: per_chip floored to 0 and k was
+        # computed as ceil(8/1), leaving 4 rows/chip on 8 chips)
+        m8 = make_mesh(8)
+        x4 = mesh_mod.jax.numpy.ones((4, 6))
+        p4 = mesh_mod.pad_small_tpu_batch(m8, x4)
+        assert p4.shape[0] % 8 == 0 and p4.shape[0] // 8 >= 8, p4.shape
+        x3 = mesh_mod.jax.numpy.ones((3, 6))
+        p3 = mesh_mod.pad_small_tpu_batch(m8, x3)
+        assert p3.shape[0] % 8 == 0 and p3.shape[0] // 8 >= 8, p3.shape
+        assert p3.shape[0] % 3 == 0  # whole-batch repetition only
+
+        # escape hatch: =1 disables, =0/unset keeps padding ON
+        os.environ["IDCCRN_NO_BATCH_PAD"] = "1"
+        try:
+            assert mesh_mod.pad_small_tpu_batch(m8, x4) is x4
+            os.environ["IDCCRN_NO_BATCH_PAD"] = "0"
+            assert mesh_mod.pad_small_tpu_batch(
+                m8, x4).shape[0] == p4.shape[0]
+        finally:
+            del os.environ["IDCCRN_NO_BATCH_PAD"]
     finally:
         mesh_mod.jax.default_backend = orig_backend
 

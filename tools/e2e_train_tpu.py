@@ -397,7 +397,7 @@ def main():
                           for k in ("OVRL", "SIG", "BAK", "P808_MOS")}
             print(f"  {tag}: {entry[tag]}", flush=True)
         for tag in ("enhanced_p2", "enhanced_p2adv"):
-            if tag in entry:
+            if tag in entry and "noisy" in entry:
                 entry[f"delta_{tag}"] = {
                     k: round(entry[tag][k] - entry["noisy"][k], 4)
                     for k in entry[tag]}

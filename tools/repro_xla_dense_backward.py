@@ -69,11 +69,13 @@ elif kind == "trainstep":
 """ % {"repo": REPO}
 
 
-def probe(args_list, timeout=900):
+def probe(args_list, timeout=900, env_extra=None):
+    env = dict(os.environ, **(env_extra or {}))
     try:
         p = subprocess.run([sys.executable, "-c", _PROBE,
                             *map(str, args_list)],
-                           capture_output=True, text=True, timeout=timeout)
+                           capture_output=True, text=True, timeout=timeout,
+                           env=env)
     except subprocess.TimeoutExpired:
         return False, f"timeout {timeout}s (compile-service contention?)"
     ok = p.returncode == 0 and "OK" in p.stdout
@@ -90,7 +92,16 @@ def main():
     ap.add_argument("--key", default=None,
                     help="merge results into OUT under this top-level key "
                          "(preserving other keys), e.g. after_flatten_fix")
+    ap.add_argument("--with-batch-pad", action="store_true",
+                    help="leave the landed pad_small_tpu_batch workaround "
+                         "ACTIVE in the trainstep sweep (for recording an "
+                         "after_batch_pad key). Default disables it with "
+                         "IDCCRN_NO_BATCH_PAD=1 — otherwise every B<8 "
+                         "point silently pads to >=8 rows/chip and the "
+                         "tool can no longer reproduce the bug it exists "
+                         "to corner.")
     args = ap.parse_args()
+    step_env = {} if args.with_batch_pad else {"IDCCRN_NO_BATCH_PAD": "1"}
 
     results = {"dense_op": [], "train_step": []}
 
@@ -113,7 +124,8 @@ def main():
     if args.quick:
         grid = [(2, 4, 2)]
     for dim, zdim, batch in grid:
-        ok, tail = probe(["trainstep", dim, zdim, batch], timeout=1500)
+        ok, tail = probe(["trainstep", dim, zdim, batch], timeout=1500,
+                         env_extra=step_env)
         results["train_step"].append(
             {"encoder_dim_start": dim, "zdim": zdim, "batch": batch,
              "ok": ok, **({} if ok else {"error": tail})})

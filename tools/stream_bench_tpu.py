@@ -12,12 +12,13 @@ wall / N. Reports the realtime margin chunk_duration / step_time per
 configuration at reference geometry (zdim=128, reference channels,
 causal), the deployment path bf16 plus an f32 point.
 
-Also gives the opt-in Pallas LSTM kernel its one honest shot at the
-B=1 latency niche (VERDICT r2 weak #4): standalone stateless timings
-scan-vs-kernel at chunk-sized T — the kernel cannot carry (h, c) state
-at all (ops/lstm.py:183-189), so unless its stateless time beats the
-scan's STATEFUL time by a margin worth new kernel work, the niche is
-closed and the kernel should be deleted.
+The LSTM probe (on unless --skip-lstm-probe) times the bare LSTM at
+chunk-sized T. It was
+used in round 3 to give the then-opt-in Pallas kernel its one honest
+shot at the B=1 latency niche (VERDICT r2 weak #4); the kernel lost
+(105-120 us stateless vs the scan's 103-108 us stateful, committed in
+STREAM_BENCH.json) and was deleted, so the probe now times the scan
+backend only.
 
 Usage: python tools/stream_bench_tpu.py [--iters 300] [--out STREAM_BENCH.json]
 (run alone: host/tunnel contention inflates numbers 3-10x)
@@ -168,15 +169,14 @@ def main():
 
     if not args.skip_lstm_probe:
         for T in (1, 10):
+            # (the Pallas kernel branch was removed with the kernel in
+            # round 3 — STREAM_BENCH.json's committed pallas_stateless
+            # numbers are the record of why: 105-120 us vs the scan's
+            # 103-108 us at this geometry, with no carried-state path)
             probe = {
                 "scan_stateful": bench_lstm("scan", T, args.iters, True),
                 "scan_stateless": bench_lstm("scan", T, args.iters, False),
             }
-            try:
-                probe["pallas_stateless"] = bench_lstm(
-                    "pallas", T, args.iters, False)
-            except Exception as e:
-                probe["pallas_stateless"] = f"error: {e}"
             report["lstm_probe_us"][f"T{T}_B1"] = probe
             print(f"lstm probe T={T}: {probe}", flush=True)
 
