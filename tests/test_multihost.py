@@ -5,11 +5,13 @@ Each subprocess calls jax.distributed.initialize (Gloo-backed CPU
 collectives), builds the global 'data' mesh, feeds its PROCESS-LOCAL
 quarter of the global batch through shard_batch's
 make_array_from_process_local_data path, and runs one training step of
-TWO trainers: PretrainTrainer and the NSVAE trainer with its
+THREE trainers: PretrainTrainer, the NSVAE trainer with its
 partial-freeze split (trainable noisy+clean encoders, frozen noise
-encoder) — the mesh-sensitive masked-update structure (VERDICT r2
-missing #4). Losses and updated-parameter checksums must match the
-single-process run bit-for-bit-ish.
+encoder — the mesh-sensitive masked-update structure, VERDICT r2
+missing #4), and the Phase2 adversarial trainer in its TPU-default
+split-G/D-program form (the D program consumes global device-resident
+outputs of the G program). Losses and updated-parameter checksums must
+match the single-process run bit-for-bit-ish.
 
 Barriers use the public jax.experimental.multihost_utils.
 sync_global_devices (no jax._src): the FIRST barrier runs immediately
@@ -115,6 +117,37 @@ ncompiled = ntr._jit_step.lower(nstate, *sharded, nrng,
 mhu.sync_global_devices("mh_nsvae_compiled")
 ns1, nm = ncompiled(nstate, *sharded, nrng)
 
+# --- leg 3: Phase2 adversarial, split G/D programs ---------------------------
+# The TPU-default adversarial form runs as TWO jitted programs (G, then
+# D on the stop-gradient'd reconstructions). Cross-process this is the
+# newest mesh-sensitive structure: the D program consumes GLOBAL
+# device-resident outputs of the G program.
+from idccrn_vae_tpu.losses.phase2 import TwoPhaseLoss
+from idccrn_vae_tpu.train.phase2 import Phase2Trainer
+enc_cfg = dataclasses.replace(TINY, latent_num=1)
+dec_cfg = dataclasses.replace(TINY, latent_num=1, skip_mode="runtime",
+                              recon_type="mask")
+ptr = Phase2Trainer(enc_cfg, dec_cfg,
+                    TwoPhaseLoss((1.0, 1.0, 0.0), alpha=1.0, latent_num=1),
+                    1e-3, adversarial=True, dis_lr=1e-3, d_step=1,
+                    decode_update="skip_layer", mesh=mesh,
+                    split_adv_step=True)
+ptr.tx = optax.sgd(1e-3)
+ptr.tx_dis = optax.sgd(1e-3)
+pstate = ptr.init_state()
+pbatch = tuple((np.random.default_rng(s).standard_normal((8, 1600)) * 0.3
+                ).astype(np.float32) for s in (4, 5, 6))
+psharded = tuple(shard_batch(mesh, jnp.asarray(b[pid * 4:(pid + 1) * 4]))
+                 for b in pbatch)
+prng = jax.random.PRNGKey(0)
+g_comp = ptr._jit_step.lower(pstate, *psharded, prng, train=True,
+                             update_d=False, return_pair=True).compile()
+mhu.sync_global_devices("mh_p2_g_compiled")
+ps1, pm, est, clean_t = g_comp(pstate, *psharded, prng)
+d_comp = ptr._jit_d.lower(ps1, est, clean_t).compile()
+mhu.sync_global_devices("mh_p2_d_compiled")
+ps2, d_lo = d_comp(ps1, est, clean_t)
+
 with open(out_path, "w") as f:
     json.dump({"total": float(m["total"]), "kl": float(m["kl"]),
                "checksum": pre_checksum,
@@ -125,6 +158,12 @@ with open(out_path, "w") as f:
                    checksum_of(ns1["models"]["clean_enc"]["params"]),
                "nsvae_noise_checksum":
                    checksum_of(ns1["models"]["noise_enc"]["params"]),
+               "p2_total": float(pm["total"]),
+               "p2_dis": float(d_lo),
+               "p2_dec_checksum":
+                   checksum_of(ps2["models"]["decoder"]["params"]),
+               "p2_dis_checksum":
+                   checksum_of(ps2["models"]["dis"]["params"]),
                "files": dist.shard_file_list(list("abcdef"))}, f)
 """ % {"repo": REPO}
 
@@ -254,6 +293,35 @@ def test_two_process_matches_single_process(tmp_path):
     # both the 2-process and single-process runs
     assert r0["nsvae_noise_checksum"] == pytest.approx(
         checksum_of(ns0["models"]["noise_enc"]["params"]), rel=1e-6)
+
+    # --- Phase2 leg: adversarial split G/D programs across processes -----
+    from idccrn_vae_tpu.losses.phase2 import TwoPhaseLoss
+    from idccrn_vae_tpu.train.phase2 import Phase2Trainer
+
+    enc_cfg = dataclasses.replace(tiny, latent_num=1)
+    dec_cfg = dataclasses.replace(tiny, latent_num=1, skip_mode="runtime",
+                                  recon_type="mask")
+    ptr = Phase2Trainer(enc_cfg, dec_cfg,
+                        TwoPhaseLoss((1.0, 1.0, 0.0), alpha=1.0,
+                                     latent_num=1),
+                        1e-3, adversarial=True, dis_lr=1e-3, d_step=1,
+                        decode_update="skip_layer", mesh=make_mesh(8),
+                        split_adv_step=True)
+    ptr.tx = optax.sgd(1e-3)
+    ptr.tx_dis = optax.sgd(1e-3)
+    ps0 = ptr.init_state()
+    pbatch = tuple((np.random.default_rng(s).standard_normal((8, 1600))
+                    * 0.3).astype(np.float32) for s in (4, 5, 6))
+    ps2, pmet = ptr.train_step(ps0, pbatch, jax.random.PRNGKey(0), 0)
+
+    assert r0["p2_total"] == pytest.approx(r1["p2_total"], rel=1e-6)
+    assert r0["p2_dis"] == pytest.approx(r1["p2_dis"], rel=1e-6)
+    assert r0["p2_total"] == pytest.approx(float(pmet["total"]), rel=1e-4)
+    assert r0["p2_dis"] == pytest.approx(float(pmet["dis"]), rel=1e-4)
+    assert r0["p2_dec_checksum"] == pytest.approx(
+        checksum_of(ps2["models"]["decoder"]["params"]), rel=1e-4)
+    assert r0["p2_dis_checksum"] == pytest.approx(
+        checksum_of(ps2["models"]["dis"]["params"]), rel=1e-4)
 
 
 def test_shard_file_list_equal_shards():
