@@ -76,9 +76,22 @@ class BatchLoader:
 
         results = {}
         lock = threading.Lock()
+        # Abandoning the generator mid-epoch (break / exception above
+        # the loop) must not leave workers blocked forever on a full
+        # out_q holding decoded batches: the finally below sets `stop`,
+        # and every potentially-blocking put polls it.
+        stop = threading.Event()
+
+        def put_done(bi):
+            while not stop.is_set():
+                try:
+                    out_q.put(bi, timeout=0.1)
+                    return
+                except queue.Full:
+                    continue
 
         def worker():
-            while True:
+            while not stop.is_set():
                 try:
                     bi, b = idx_q.get_nowait()
                 except queue.Empty:
@@ -88,11 +101,11 @@ class BatchLoader:
                 except Exception as exc:  # propagate instead of deadlocking
                     with lock:
                         results[bi] = exc
-                    out_q.put(bi)
+                    put_done(bi)
                     return
                 with lock:
                     results[bi] = batch
-                out_q.put(bi)
+                put_done(bi)
 
         threads = [
             threading.Thread(target=worker, daemon=True)
@@ -101,15 +114,18 @@ class BatchLoader:
         for t in threads:
             t.start()
 
-        # deliver in order
-        next_bi = 0
-        ready = set()
-        for _ in range(len(batches)):
-            while next_bi not in ready:
-                ready.add(out_q.get())
-            with lock:
-                batch = results.pop(next_bi)
-            if isinstance(batch, Exception):
-                raise batch
-            yield batch
-            next_bi += 1
+        try:
+            # deliver in order
+            next_bi = 0
+            ready = set()
+            for _ in range(len(batches)):
+                while next_bi not in ready:
+                    ready.add(out_q.get())
+                with lock:
+                    batch = results.pop(next_bi)
+                if isinstance(batch, Exception):
+                    raise batch
+                yield batch
+                next_bi += 1
+        finally:
+            stop.set()

@@ -72,10 +72,11 @@ def build_segment_index(
     samples, mirroring SpeechSequencesFull.compute_len
     (dataload_pretrained_vaes.py:123-161).
 
-    The cache is validated against (file list, sequence_len, hop, trim):
-    the reference's pkl cache is keyed only by the first_use flag, so
-    changing the window geometry or corpus silently reused a stale
-    index — here a mismatch rebuilds instead."""
+    The cache is validated against every index-determining parameter
+    (file list, sequence_len, hop, trim, shuffle, seed): the reference's
+    pkl cache is keyed only by the first_use flag, so changing the
+    window geometry or corpus silently reused a stale index — here a
+    mismatch rebuilds instead."""
     import hashlib
 
     cache_key = {
@@ -84,6 +85,8 @@ def build_segment_index(
         "sequence_len": int(sequence_len),
         "hop": int(hop),
         "trim": bool(trim),
+        "shuffle": bool(shuffle),
+        "seed": int(seed),
     }
     if use_cache and cache_path and os.path.exists(cache_path):
         with open(cache_path) as f:

@@ -91,8 +91,15 @@ def corpus_mean_std(
         buf[fill:] = 0.0
         drain(fill)
 
-    mean = s1 / max(count, 1)
-    var = s2 / max(count, 1) - mean**2
+    if count == 0:
+        # all files empty/too short after trimming: all-zero stats would
+        # be silently written to disk and later blow up training through
+        # the 1/(std+1e-6) datanorm — fail where the cause is visible
+        raise ValueError(
+            "corpus_mean_std accumulated 0 frames "
+            f"({len(list(file_list))} files, n_fft={n_fft}, trim={trim})")
+    mean = s1 / count
+    var = s2 / count - mean**2
     std = np.sqrt(np.maximum(var, 0.0))
     return mean.astype(np.float32), std.astype(np.float32)
 

@@ -15,6 +15,7 @@ computed natively in numpy (librosa-compatible slaney mel filterbank).
 
 from __future__ import annotations
 
+import functools
 import os
 from typing import Optional
 
@@ -60,8 +61,13 @@ def _mel_to_hz(m):
     return f
 
 
+@functools.lru_cache(maxsize=4)
 def mel_filterbank(sr: int, n_fft: int, n_mels: int) -> np.ndarray:
-    """librosa.filters.mel-compatible (slaney norm) -> (n_mels, 1+n_fft//2)."""
+    """librosa.filters.mel-compatible (slaney norm) -> (n_mels, 1+n_fft//2).
+
+    Cached: audio_melspec calls this once per 9 s scoring window of
+    every file with identical arguments, and the 120-row Python loop is
+    pure repeated work on a 1-CPU host."""
     fftfreqs = np.linspace(0, sr / 2, 1 + n_fft // 2)
     mel_pts = np.linspace(_hz_to_mel(0.0), _hz_to_mel(sr / 2.0), n_mels + 2)
     hz_pts = _mel_to_hz(mel_pts)

@@ -30,7 +30,7 @@ Out-types for latent_num=2 (test_nsvae_se.py:139-189):
 
 from __future__ import annotations
 
-from typing import Callable, List, Optional, Sequence
+from typing import List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -40,6 +40,21 @@ from idccrn_vae_tpu.models.config import DccrnConfig
 from idccrn_vae_tpu.models.nsvae import NsvaeEncoder, split_noisy_skips
 from idccrn_vae_tpu.models.vae import VaeDecoder
 from idccrn_vae_tpu.ops.stft import istft, stft
+
+
+DEFAULT_BUCKET_FRAMES = 100
+
+
+def bucket_pad_length(n_samples: int, hop: int,
+                      bucket_frames: int = DEFAULT_BUCKET_FRAMES) -> int:
+    """Smallest bucket (in samples) holding an n_samples utterance:
+    frame count (n//hop + 1) rounded up to a multiple of bucket_frames.
+    THE bucketing convention — the Enhancer and every eval runner batch
+    through this one function so the serving and eval paths cannot
+    silently diverge."""
+    frames = n_samples // hop + 1
+    frames_b = ((frames + bucket_frames - 1) // bucket_frames) * bucket_frames
+    return frames_b * hop
 
 
 def _sample_mean(x: jnp.ndarray, num_samples: int) -> jnp.ndarray:
@@ -151,13 +166,17 @@ class Enhancer:
                 f"sample_chunks={sample_chunks} must divide "
                 f"num_samples={num_samples}")
         self.sample_chunks = sample_chunks
-        self._fns = {}
+        # ONE jit wrapper: jax.jit already caches one executable per
+        # input shape, so a per-bucket dict of jit objects was pure
+        # redundant state
+        self._fn = jax.jit(self.forward)
 
     # -- the enhancement forward (also exported AOT by eval/export.py) -----
     def forward(self, enc_vars, dec_vars, noise_dec_vars, wav, rng):
         """Pure enhancement program: STFT -> encoder -> latent sampling
         -> decoder(s) -> outtype combination -> ISTFT. The single source
-        of truth for the serving math — `_build` jits it per bucket and
+        of truth for the serving math — `self._fn` is its jit (one
+        executable per bucket shape, cached by jax.jit itself) and
         `eval/export.py::serving_fn_nsvae` exports it with the weights
         baked in."""
         s = self.enc_cfg.stft
@@ -229,29 +248,15 @@ class Enhancer:
                               num_samples=1)
         return istft(est, s.n_fft, s.hop, s.win_length)
 
-    # -- single-bucket jitted program --------------------------------------
-    def _build(self, length: int) -> Callable:
-        return jax.jit(self.forward)
-
-    def _fn_for(self, length: int) -> Callable:
-        if length not in self._fns:
-            self._fns[length] = self._build(length)
-        return self._fns[length]
-
     def bucket_length(self, n_samples: int) -> int:
-        """Smallest bucket (in samples) holding an n_samples utterance:
-        rounds the frame count up to a multiple of bucket_frames."""
-        hop = self.enc_cfg.stft.hop
-        frames = n_samples // hop + 1
-        bf = self.bucket_frames
-        frames_b = ((frames + bf - 1) // bf) * bf
-        return frames_b * hop
+        return bucket_pad_length(n_samples, self.enc_cfg.stft.hop,
+                                 self.bucket_frames)
 
     # -- public API --------------------------------------------------------
     def enhance_batch(self, wavs: np.ndarray, rng=None) -> np.ndarray:
         """Enhance a padded batch (B, L); L must be a bucket length."""
         rng = jax.random.PRNGKey(0) if rng is None else rng
-        fn = self._fn_for(wavs.shape[1])
+        fn = self._fn
         wavs = jnp.asarray(wavs)
         b = wavs.shape[0]
         if self.mesh is not None:

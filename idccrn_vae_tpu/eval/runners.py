@@ -20,6 +20,7 @@ import jax
 import numpy as np
 
 from idccrn_vae_tpu.data.audio_io import read_wav, resample, write_wav
+from idccrn_vae_tpu.eval.enhance import bucket_pad_length
 from idccrn_vae_tpu.eval.metrics import (
     EvalMetrics,
     compute_mean,
@@ -39,6 +40,34 @@ def _log_provenance(logger) -> dict:
     logger.info("metric provenance: pesq_impl=%s stoi_impl=%s",
                 prov["pesq_impl"], prov["stoi_impl"])
     return prov
+
+
+def utt_names(paths: Sequence[str]) -> List[str]:
+    """Per-utterance display/output names. Basenames when unique;
+    duplicated basenames (find_wavs walks recursively, so per-speaker
+    subdirs can repeat file names) are disambiguated with their parent
+    directories — otherwise per-utt dicts silently collapse scores and
+    enhanced wavs overwrite each other."""
+    names = [os.path.basename(p) for p in paths]
+    if len(set(names)) == len(names):
+        return names
+    dupes = {n for n in names if names.count(n) > 1}
+    out = [f"{os.path.basename(os.path.dirname(os.path.abspath(p)))}__{n}"
+           if n in dupes else n
+           for p, n in zip(paths, names)]
+    # parent prefix may not suffice (same name, same dir name) — force
+    # uniqueness with an index suffix
+    seen: Dict[str, int] = {}
+    final = []
+    for n in out:
+        if n in seen:
+            seen[n] += 1
+            stem, ext = os.path.splitext(n)
+            final.append(f"{stem}__{seen[n]}{ext}")
+        else:
+            seen[n] = 0
+            final.append(n)
+    return final
 
 
 def load_testset(paths: Sequence[str], fs: int = 16000) -> List[np.ndarray]:
@@ -122,7 +151,7 @@ def run_enhancement_eval(
     logger = logger or get_logger(os.path.join(out_dir, "log.txt"), 1)
     noisy = load_testset(noisy_paths, fs)
     clean = load_testset(clean_paths, fs)
-    names = [os.path.basename(p) for p in noisy_paths]
+    names = utt_names(noisy_paths)
 
     enhanced = enhancer.enhance_utterances(noisy, batch_size=batch_size,
                                            rng=rng)
@@ -211,7 +240,7 @@ def run_vae_reconstruction_eval(
     os.makedirs(out_dir, exist_ok=True)
     logger = logger or get_logger(os.path.join(out_dir, "log.txt"), 1)
     wavs = load_testset(wav_paths, fs)
-    names = [os.path.basename(p) for p in wav_paths]
+    names = utt_names(wav_paths)
 
     hop = cfg.stft.hop
     fns = {}
@@ -239,8 +268,7 @@ def run_vae_reconstruction_eval(
     while i < len(order):
         chunk = order[i : i + batch_size]
         max_len = max(len(wavs[j]) for j in chunk)
-        frames = max_len // hop + 1
-        length = ((frames + 99) // 100) * 100 * hop
+        length = bucket_pad_length(max_len, hop)
         batch = np.zeros((len(chunk), length), np.float32)
         for r, j in enumerate(chunk):
             batch[r, : len(wavs[j])] = wavs[j]
@@ -300,7 +328,7 @@ def run_supervised_eval(model, variables, noisy_paths, clean_paths, out_dir,
     logger = logger or get_logger(os.path.join(out_dir, "log.txt"), 1)
     noisy = load_testset(noisy_paths, fs)
     clean = load_testset(clean_paths, fs)
-    names = [os.path.basename(p) for p in noisy_paths]
+    names = utt_names(noisy_paths)
 
     hop = cfg.stft.hop
     fns = {}
@@ -319,8 +347,7 @@ def run_supervised_eval(model, variables, noisy_paths, clean_paths, out_dir,
     while i < len(order):
         chunk = order[i : i + batch_size]
         max_len = max(len(noisy[j]) for j in chunk)
-        frames = max_len // hop + 1
-        length = ((frames + 99) // 100) * 100 * hop
+        length = bucket_pad_length(max_len, hop)
         batch = np.zeros((len(chunk), length), np.float32)
         for r, j in enumerate(chunk):
             batch[r, : len(noisy[j])] = noisy[j]
@@ -331,7 +358,11 @@ def run_supervised_eval(model, variables, noisy_paths, clean_paths, out_dir,
             n = min(len(noisy[j]), out.shape[1])
             results[j] = out[r, :n]
             h = lat.shape[-1] // 2
-            latents.append(np.stack([lat[r, :, :h], lat[r, :, h:]], -1))
+            # real frame count only — padded-silence frames would bias
+            # the cov diagnostics (same trim as the VAE/enhance runners)
+            frames = len(noisy[j]) // hop + 1
+            latents.append(np.stack([lat[r, :frames, :h],
+                                     lat[r, :frames, h:]], -1))
         i += batch_size
 
     per_utt = score_pairs(results, clean, names, fs)

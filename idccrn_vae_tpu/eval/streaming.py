@@ -72,13 +72,23 @@ class StreamingEnhancer:
 
     def __init__(self, enc_cfg: DccrnConfig, dec_cfg: DccrnConfig,
                  enc_vars, dec_vars, chunk_frames: int = 10,
-                 model: str = "nsvae", datanorm=None):
+                 model: str = "nsvae", datanorm=None,
+                 pad_mode: str = "sig"):
         assert enc_cfg.causal and dec_cfg.causal, "streaming needs causal"
         self.enc_cfg = enc_cfg
         self.dec_cfg = dec_cfg
         self.enc_vars = enc_vars
         self.dec_vars = dec_vars
         self.model = model
+        # matches apply_decoder_stack's use_zeros rule: 'zero'-skip
+        # ("spadd") checkpoints and runtime decoders called with
+        # pad_mode='zero' must see ZERO skip content — feeding real
+        # encoder skips through the skip-half weights would diverge
+        # from the offline forward (pinned by test_streaming.py)
+        self.pad_mode = pad_mode
+        self.zero_skips = (
+            dec_cfg.skip_mode == "zero"
+            or (dec_cfg.skip_mode == "runtime" and pad_mode == "zero"))
         # (mean, std) per-bin stats for datanorm-trained supervised/VAE
         # checkpoints (models/backbone.py applies them offline; NSVAE
         # noisy encoders never use datanorm, matching the reference)
@@ -192,7 +202,10 @@ class StreamingEnhancer:
         for i, (p, s, tail) in enumerate(
                 zip(dec_params, dec_stats, state.dec_tails)):
             if dcfg.skip_mode != "none" and i in dcfg.skip_to_use:
-                p_map = cpack_concat(p_map, skips[nst - 1 - i])
+                sk = skips[nst - 1 - i]
+                if self.zero_skips:
+                    sk = jnp.zeros_like(sk)
+                p_map = cpack_concat(p_map, sk)
             xin = jnp.concatenate([tail, p_map], axis=2)
             new_dec_tails.append(xin[:, :, -1:, :])
             p_map = complex_conv_transpose2d(
@@ -245,13 +258,20 @@ class StreamingEnhancer:
                           jnp.asarray(chunk, jnp.float32))
 
     def stream(self, wav: np.ndarray):
-        """Convenience: run a full (B, L) signal through chunked calls."""
+        """Convenience: run a full (B, L) signal through chunked calls.
+
+        The final partial chunk (L % chunk_samples) is zero-padded,
+        processed, and the output trimmed back to L — no trailing
+        samples are silently dropped."""
         b, total = wav.shape
         m = self.chunk_samples
-        n_chunks = total // m
+        n_chunks = -(-total // m)
         state = self.init_state(b)
         outs = []
         for k in range(n_chunks):
-            out, state = self.process_chunk(state, wav[:, k * m:(k + 1) * m])
+            chunk = wav[:, k * m:(k + 1) * m]
+            if chunk.shape[1] < m:
+                chunk = np.pad(chunk, ((0, 0), (0, m - chunk.shape[1])))
+            out, state = self.process_chunk(state, chunk)
             outs.append(np.asarray(out))
-        return np.concatenate(outs, axis=1)
+        return np.concatenate(outs, axis=1)[:, :total]

@@ -241,3 +241,56 @@ def test_companion_paths_rejects_nonconforming_name():
 
     with pytest.raises(ValueError, match="fileid"):
         companion_paths("/d/noisy/noisy_001.wav", "/d/clean", "/d/noise")
+
+
+def test_segment_cache_invalidated_on_order_change(wav_dir, tmp_path):
+    """shuffle and seed determine the index ORDER — they must be part of
+    the cache key or a cached shuffled index is silently returned to a
+    caller who asked for a different ordering."""
+    files = sorted(str(wav_dir / f) for f in os.listdir(wav_dir))
+    cache = str(tmp_path / "c.json")
+    idx_shuf = build_segment_index(files, 41, 100, FS, trim=False,
+                                   shuffle=True, seed=1, cache_path=cache)
+    idx_plain = build_segment_index(files, 41, 100, FS, trim=False,
+                                    shuffle=False, cache_path=cache,
+                                    use_cache=True)
+    assert sorted(idx_plain) == sorted(idx_shuf)
+    assert idx_plain == sorted(
+        idx_plain, key=lambda e: (files.index(e[0]), e[1]))
+    idx_seed2 = build_segment_index(files, 41, 100, FS, trim=False,
+                                    shuffle=True, seed=2, cache_path=cache,
+                                    use_cache=True)
+    assert idx_seed2 != idx_plain
+
+
+def test_corpus_mean_std_empty_raises(tmp_path):
+    """All-too-short corpus must raise, not return all-zero stats that a
+    later training run would load as datanorm (1/(std+1e-6) blowup)."""
+    from idccrn_vae_tpu.data.audio_io import write_wav
+
+    p = str(tmp_path / "tiny_fileid_0.wav")
+    write_wav(p, np.zeros(64, np.float32), FS)  # < n_fft=512
+    with pytest.raises(ValueError, match="0 frames"):
+        corpus_mean_std([p], n_fft=512, hop=100, fs=FS, trim=False)
+
+
+def test_batch_loader_abandoned_iteration_cleans_up(wav_dir):
+    """Breaking out of an epoch early must release the prefetch workers
+    (they used to block forever on the full output queue)."""
+    import threading
+    import time
+
+    files = sorted(str(wav_dir / f) for f in os.listdir(wav_dir))
+    index = build_segment_index(files, 41, 100, FS, trim=False,
+                                shuffle=False)
+    ds = SegmentDataset(index, mode="single")
+    loader = BatchLoader(ds, batch_size=1, shuffle=False, num_threads=2,
+                         prefetch=1)
+    before = threading.active_count()
+    it = iter(loader)
+    next(it)
+    it.close()  # what `break` does at gc time
+    deadline = time.time() + 5.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before

@@ -50,8 +50,13 @@ def test_enhance_utterances_variable_length():
     for w, o in zip(wavs, outs):
         assert o.ndim == 1 and len(o) <= len(w)
         assert np.isfinite(o).all()
-    # only a small number of compiled buckets
-    assert len(e._fns) <= 2
+    # bucketing keeps the compiled-shape count small (jax.jit caches one
+    # executable per input shape on the single wrapper): sorted
+    # 2-utterance chunks land in <=2 distinct buckets
+    order = sorted(len(w) for w in wavs)
+    sizes = {e.bucket_length(max(order[i:i + 2]))
+             for i in range(0, len(order), 2)}
+    assert len(sizes) <= 2
 
 
 def test_outtypes_latent2():

@@ -131,3 +131,17 @@ def test_score_pairs_threaded_matches_serial():
     threaded = score_pairs(ests, refs, names, fs, workers=4)
     assert serial == threaded
     assert list(threaded) == names  # insertion order preserved
+
+
+def test_utt_names_disambiguates_duplicates():
+    """Recursive corpora can repeat basenames across subdirs; per-utt
+    keys and enhanced-wav names must not silently collide."""
+    from idccrn_vae_tpu.eval.runners import utt_names
+
+    assert utt_names(["a/x.wav", "b/y.wav"]) == ["x.wav", "y.wav"]
+    names = utt_names(["spk1/x.wav", "spk2/x.wav", "spk1/y.wav"])
+    assert len(set(names)) == 3
+    assert names == ["spk1__x.wav", "spk2__x.wav", "y.wav"]
+    # same basename AND same parent dir name -> index suffix fallback
+    names = utt_names(["r/d/x.wav", "s/d/x.wav"])
+    assert len(set(names)) == 2

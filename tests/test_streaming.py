@@ -98,6 +98,63 @@ def test_streaming_matches_offline():
     np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-3)
 
 
+def test_streaming_matches_offline_zero_skips():
+    """'spadd' (skip_mode='zero') checkpoints: the offline decoder
+    contributes NOTHING from the skip half (apply_decoder_stack
+    skip_kind='zero'), so the streaming step must feed zeros there too —
+    regression for a bug where real encoder skips went through the
+    skip-half weights and every chunk silently diverged."""
+    zcfg = dataclasses.replace(CFG, skip_mode="zero")
+    enc = NsvaeEncoder(CFG)
+    dec = VaeDecoder(zcfg)
+    enc_vars = enc.init(jax.random.PRNGKey(0))
+    dec_vars = dec.init(jax.random.PRNGKey(1))
+    wav = _wav(3000, zero_head=True, seed=7)
+    streamer = StreamingEnhancer(CFG, zcfg, enc_vars, dec_vars,
+                                 chunk_frames=10)
+    assert streamer.zero_skips
+    out_stream = streamer.stream(wav)
+
+    s = CFG.stft
+    shift = (s.n_fft - s.hop) - s.n_fft // 2
+    wav_shifted = jnp.asarray(np.pad(wav, ((0, 0), (shift, 0))))
+    stft_x = stft(wav_shifted, s.n_fft, s.hop, s.win_length)
+    x, skips, _ = apply_encoder_stack(
+        enc_vars["params"]["encoder"], enc_vars["stats"]["encoder"],
+        stft_x, CFG, train=False)
+    lstm_out = complex_lstm(flatten_bottleneck(x),
+                            enc_vars["params"]["lstm"], backend="scan")
+    gauss = parse_sliced_head(lstm_out, CFG.zdim, offset=0)
+    z = jnp.concatenate([gauss.mu_r, gauss.mu_i], axis=-1)
+    c, f = bottleneck_dims(zcfg)
+    p = unflatten_bottleneck(complex_dense(z, dec_vars["params"]["dense"]),
+                             c, f)
+    out, _ = apply_decoder_stack(
+        dec_vars["params"]["decoder"], dec_vars["stats"]["decoder"], p,
+        skips, zcfg, train=False, num_samples=1)
+    out_offline = np.asarray(istft(mask_reconstruct(out, stft_x),
+                                   s.n_fft, s.hop, s.win_length))
+    delay = s.n_fft // 2
+    a = out_stream[:, delay:]
+    b = out_offline[:, : a.shape[1]]
+    np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-3)
+
+
+def test_stream_pads_final_partial_chunk():
+    """stream() must not silently drop the last L % chunk_samples
+    samples: the tail chunk is zero-padded and the output trimmed."""
+    enc_vars, dec_vars = _models()
+    streamer = StreamingEnhancer(CFG, CFG, enc_vars, dec_vars,
+                                 chunk_frames=10)  # 1000-sample chunks
+    wav = _wav(3640, zero_head=True, seed=8)
+    out = streamer.stream(wav)
+    assert out.shape == wav.shape
+    # the covered prefix equals a run on the exact-multiple prefix
+    out_exact = streamer.stream(wav[:, :3000])
+    np.testing.assert_allclose(out[:, :3000], out_exact,
+                               atol=1e-5, rtol=1e-4)
+
+
 def test_stream_shapes_and_latency():
     enc_vars, dec_vars = _models()
     streamer = StreamingEnhancer(CFG, CFG, enc_vars, dec_vars,
