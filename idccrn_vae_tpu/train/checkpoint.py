@@ -66,17 +66,18 @@ class CheckpointManager:
 
     def _load_tree(self, name: str, like: Optional[Any] = None) -> Any:
         path = os.path.join(self.directory, name)
-        restored = self._ckptr.restore(path)
-        if like is not None:
-            # restore dtypes/structure onto the template
-            flat_like, treedef = jax.tree.flatten(like)
-            flat_new = jax.tree.leaves(restored)
-            flat = [
-                np.asarray(n).astype(np.asarray(l).dtype)
-                for n, l in zip(flat_new, flat_like)
-            ]
-            return jax.tree.unflatten(treedef, flat)
-        return restored
+        if like is None:
+            return self._ckptr.restore(path)
+        # Restore INTO the template so orbax aligns leaves by tree
+        # structure/key names. Zipping restored leaves against the
+        # template's flatten order would silently mis-assign whenever
+        # the two orders differ (optax namedtuple states restore as
+        # dicts whose sorted-key order need not match field order).
+        template = jax.tree.map(np.asarray, like)
+        restored = self._ckptr.restore(path, item=template)
+        return jax.tree.map(
+            lambda n, l: np.asarray(n).astype(np.asarray(l).dtype),
+            restored, like)
 
     def save_state(self, state: Any) -> None:
         self._save_tree("state", state)

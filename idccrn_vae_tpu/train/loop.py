@@ -14,19 +14,27 @@ import jax
 
 
 class MetricAccumulator:
+    """Sample-weighted averages with PER-KEY counts: a key emitted only
+    on some batches (e.g. the adversarial 'dis' loss, present every
+    d_step batches) averages over the samples that actually reported it,
+    not the whole epoch. (The reference's bookkeeping re-adds the stale
+    last dist_loss on non-update batches,
+    train_second_phase_adversarial.py:323 — a reporting bug, not
+    reproduced.)"""
+
     def __init__(self):
         self.sums: Dict[str, float] = {}
+        self.counts: Dict[str, int] = {}
         self.count = 0
 
     def add(self, metrics: Dict, batch_size: int):
         for k, v in metrics.items():
             self.sums[k] = self.sums.get(k, 0.0) + float(v) * batch_size
+            self.counts[k] = self.counts.get(k, 0) + batch_size
         self.count += batch_size
 
     def averages(self) -> Dict[str, float]:
-        if self.count == 0:
-            return {}
-        return {k: v / self.count for k, v in self.sums.items()}
+        return {k: v / self.counts[k] for k, v in self.sums.items()}
 
 
 def run_training(

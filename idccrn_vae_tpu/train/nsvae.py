@@ -93,17 +93,31 @@ class NsvaeTrainer:
         models = state["models"]
         k1, k2, k3 = jax.random.split(rng, 3)
 
+        # FROZEN pretrained encoders run in eval mode — BN normalizes
+        # with their pretrained running stats and those stats are NOT
+        # updated/checkpointed over. The reference puts every
+        # non-trainable model in eval() and forwards it with train=False
+        # under no_grad (train_nsvae.py:451-468, 485-499); only
+        # unfrozen models (and always the noisy encoder) see batch
+        # statistics.
+        def mode(name):
+            return train and (name == "noisy_enc"
+                              or bool(self.trainable.get(name)))
+
         def loss_fn(tparams):
             def variables(name):
                 params = tparams.get(name, models[name]["params"])
                 return {"params": params, "stats": models[name]["stats"]}
 
             clean_out, cs = self.clean_enc.apply(
-                variables("clean_enc"), clean, train=train, rng=k1)
+                variables("clean_enc"), clean, train=mode("clean_enc"),
+                rng=k1)
             noise_out, ns = self.noise_enc.apply(
-                variables("noise_enc"), noise, train=train, rng=k2)
+                variables("noise_enc"), noise, train=mode("noise_enc"),
+                rng=k2)
             noisy_out, ys = self.noisy_enc.apply(
-                variables("noisy_enc"), noisy, train=train, rng=k3)
+                variables("noisy_enc"), noisy, train=mode("noisy_enc"),
+                rng=k3)
             lo = self.loss(
                 clean_out.gauss, noise_out.gauss,
                 noisy_out.gauss_speech, noisy_out.gauss_noise,
@@ -128,7 +142,10 @@ class NsvaeTrainer:
             for name in models:
                 new_models[name] = {
                     "params": new_tparams.get(name, models[name]["params"]),
-                    "stats": new_stats[name],
+                    # frozen models ran with train=False: keep their
+                    # pretrained running stats byte-identical
+                    "stats": (new_stats[name] if mode(name)
+                              else models[name]["stats"]),
                 }
             return {"models": new_models, "opt": opt}, metrics
         _, (metrics, _s) = loss_fn(tparams)

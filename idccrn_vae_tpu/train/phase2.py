@@ -43,12 +43,20 @@ from idccrn_vae_tpu.utils.logger import get_logger
 
 
 def skip_layer_mask(dec_params, cfg: DccrnConfig):
-    """Update mask selecting only skip-consuming decoder stages
-    (decode_update='skip_layer')."""
+    """Update mask for decode_update='skip_layer'.
+
+    The reference unfreezes `decoders[len - skip - 1]` for each skip in
+    skip_to_use (train_second_phase_decoder.py:145-150) — the MIRROR of
+    the stages that concatenate skips in the forward (stage i consumes
+    skiper[len-1-i], pvae_module.py:455-464). For the default full set
+    0..n-1 the two coincide; for asymmetric sets we reproduce the
+    reference's choice, quirk and all."""
     mask = jax.tree.map(lambda _: False, dec_params)
+    n = len(dec_params["decoder"])
     for i in cfg.skip_to_use:
-        mask["decoder"][i] = jax.tree.map(lambda _: True,
-                                          dec_params["decoder"][i])
+        idx = n - 1 - i
+        mask["decoder"][idx] = jax.tree.map(lambda _: True,
+                                            dec_params["decoder"][idx])
     return mask
 
 
@@ -80,8 +88,15 @@ class Phase2Trainer:
         self.mesh = mesh if mesh is not None else make_mesh(1)
         self.encoder = NsvaeEncoder(enc_cfg)
         self.decoder = VaeDecoder(dec_cfg)
+        # The reference's adversarial script builds and trains ONLY the
+        # clean decoder (train_second_phase_adversarial.py never creates
+        # a noise decoder; recon_sig_noise = None at :300) — carrying
+        # one here would burn a decoder forward per step and silently
+        # weight-decay its pretrained params toward zero (its loss
+        # gradient is exactly zero).
         self.noise_decoder = (
-            VaeDecoder(dec_cfg) if dec_cfg.latent_num == 2 else None
+            VaeDecoder(dec_cfg)
+            if dec_cfg.latent_num == 2 and not adversarial else None
         )
         self.discriminator = Discriminator(dec_cfg) if adversarial else None
         self.tx = make_adam(learning_rate, weight_decay)
@@ -92,16 +107,17 @@ class Phase2Trainer:
         self._batch_counter = 0
         self._mask = None
         self._jit_step = jax.jit(
-            self._step, static_argnames=("train", "update_d", "return_pair"))
-        # Adversarial G and D updates as TWO jitted programs instead of
-        # one fused step. Numerically identical (the D step consumes
-        # stop_grad(recon), clean_t and the PRE-step dis params/stats in
-        # both forms) but XLA never holds both backward graphs in one
-        # program: the fused step exceeds v5e HBM at the reference
-        # batch 15 (remote-compile HTTP 500, an OOM proxy —
-        # COMPILE500_PROBE.json) while the split programs compile at
-        # ~14G each and run 795 ms/step = 56.6 audio-s/s, 3x the fused
-        # path's B=8 throughput. Default: on for TPU, off elsewhere.
+            self._step, static_argnames=("train", "update_d"))
+        # Adversarial D and G updates as TWO jitted programs instead of
+        # one fused step (reference batch order: D first on this batch's
+        # reconstructions, then G through the UPDATED discriminator —
+        # train_second_phase_adversarial.py:302-316; both forms here
+        # implement that order and are numerically identical, pinned by
+        # test). The split wins memory: XLA never holds both backward
+        # graphs in one program, so the fused step's v5e HBM blow-up at
+        # the reference batch 15 (remote-compile HTTP 500, an OOM proxy
+        # — COMPILE500_PROBE.json) goes away; each program compiles at
+        # ~14G. Default: on for TPU, off elsewhere.
         if split_adv_step is None:
             split_adv_step = jax.default_backend() == "tpu"
         self.split_adv = bool(adversarial and split_adv_step)
@@ -127,15 +143,18 @@ class Phase2Trainer:
         if self.adversarial:
             state["opt_dis"] = self.tx_dis.init(models["dis"]["params"])
         if self.decode_update == "skip_layer":
-            self._mask = skip_layer_mask(models["decoder"]["params"],
-                                         self.dec_cfg)
+            # one mask per trainable decoder — the reference applies the
+            # same skip_layer freezing to the noise decoder too
+            # (train_second_phase_decoder.py:160-174)
+            self._mask = {k: skip_layer_mask(p, self.dec_cfg)
+                          for k, p in self._gen_params(models).items()}
         else:
             self._mask = None
         return replicate(self.mesh, state)
 
     def _gen_params(self, models):
         out = {"decoder": models["decoder"]["params"]}
-        if "noise_decoder" in models:
+        if self.noise_decoder is not None and "noise_decoder" in models:
             out["noise_decoder"] = models["noise_decoder"]["params"]
         return out
 
@@ -176,16 +195,54 @@ class Phase2Trainer:
                       "nstats": nstats}
         return (recon_c, pred_c, clean_t, clean_spec_t, dstats, extras)
 
+    def _d_update(self, dis_model, opt_dis, clean_t, est):
+        """One discriminator update on (clean, stop_grad(est)); returns
+        the new dis variables, opt state, and the (pre-update) D loss.
+        BN stats kept from the est pass, matching the reference's call
+        order (train_second_phase_adversarial.py:303-311)."""
+
+        def d_loss_fn(dparams):
+            dvars = {"params": dparams, "stats": dis_model["stats"]}
+            s_true, _ = self.discriminator.apply(dvars, clean_t, train=True)
+            s_est, st2 = self.discriminator.apply(dvars, est, train=True)
+            return self.adv_loss.discriminator_loss(s_true, s_est), st2
+
+        (d_lo, dis_stats), d_grads = jax.value_and_grad(
+            d_loss_fn, has_aux=True)(dis_model["params"])
+        d_updates, new_opt = self.tx_dis.update(
+            d_grads, opt_dis, dis_model["params"])
+        new_dis = {"params": optax.apply_updates(dis_model["params"],
+                                                 d_updates),
+                   "stats": dis_stats}
+        return new_dis, new_opt, d_lo
+
     def _step(self, state, noisy, clean, noise, rng, train: bool = True,
-              update_d: bool = False, return_pair: bool = False):
+              update_d: bool = False):
         models = state["models"]
+        dis_model = models.get("dis")
+        opt_dis = state.get("opt_dis")
+        tparams = self._gen_params(models)
+
+        d_lo = None
+        if self.adversarial and train and update_d:
+            # Reference order (train_second_phase_adversarial.py:
+            # 302-316): on D-update batches the discriminator updates
+            # FIRST, on this batch's reconstructions from the PRE-step
+            # decoder, and the generator then backprops through the
+            # UPDATED discriminator. Same rng -> the G pass below
+            # resamples the identical reconstructions.
+            recon_c0, _pc, clean_t0, _cs, _ds, _ex = self._decode(
+                models, tparams, noisy, clean, noise, rng, train)
+            dis_model, opt_dis, d_lo = self._d_update(
+                dis_model, opt_dis, jax.lax.stop_gradient(clean_t0),
+                jax.lax.stop_gradient(recon_c0))
 
         def gen_loss_fn(tparams):
             recon_c, pred_c, clean_t, clean_spec_t, dstats, ex = self._decode(
                 models, tparams, noisy, clean, noise, rng, train)
             if self.adversarial:
-                dis_vars = {"params": models["dis"]["params"],
-                            "stats": models["dis"]["stats"]}
+                dis_vars = {"params": dis_model["params"],
+                            "stats": dis_model["stats"]}
                 score, _ = self.discriminator.apply(dis_vars, recon_c,
                                                     train=train)
                 total, l_recon, l_dis = self.adv_loss.generator_loss(
@@ -209,7 +266,6 @@ class Phase2Trainer:
                 aux_stats["noise_decoder"] = ex["nstats"]
             return total, (metrics, aux_stats, recon_c, clean_t)
 
-        tparams = self._gen_params(models)
         if not train:
             _, (metrics, _a, recon_c, clean_t) = gen_loss_fn(tparams)
             if self.adversarial:
@@ -226,16 +282,16 @@ class Phase2Trainer:
         grads, (metrics, aux_stats, recon_c, clean_t) = jax.grad(
             gen_loss_fn, has_aux=True)(tparams)
         if self._mask is not None:
-            grads["decoder"] = jax.tree.map(
+            grads = jax.tree.map(
                 lambda g, m: g if m else jnp.zeros_like(g),
-                grads["decoder"], self._mask)
+                grads, self._mask)
         updates, opt = self.tx.update(grads, state["opt"], tparams)
         if self._mask is not None:
             # also mask the updates: Adam's weight-decay term would
             # otherwise still move frozen params.
-            updates["decoder"] = jax.tree.map(
+            updates = jax.tree.map(
                 lambda u, m: u if m else jnp.zeros_like(u),
-                updates["decoder"], self._mask)
+                updates, self._mask)
         new_tparams = optax.apply_updates(tparams, updates)
 
         new_models = dict(models)
@@ -248,57 +304,28 @@ class Phase2Trainer:
         new_state = {"models": new_models, "opt": opt}
 
         if self.adversarial:
-            new_state["opt_dis"] = state["opt_dis"]
-            if update_d:
-                est = jax.lax.stop_gradient(recon_c)
-
-                def d_loss_fn(dparams):
-                    dvars = {"params": dparams,
-                             "stats": models["dis"]["stats"]}
-                    s_true, st1 = self.discriminator.apply(dvars, clean_t,
-                                                           train=True)
-                    s_est, st2 = self.discriminator.apply(dvars, est,
-                                                          train=True)
-                    lo = self.adv_loss.discriminator_loss(s_true, s_est)
-                    return lo, st2
-
-                (d_lo, dis_stats), d_grads = jax.value_and_grad(
-                    d_loss_fn, has_aux=True)(models["dis"]["params"])
-                d_updates, opt_dis = self.tx_dis.update(
-                    d_grads, state["opt_dis"], models["dis"]["params"])
-                new_models["dis"] = {
-                    "params": optax.apply_updates(models["dis"]["params"],
-                                                  d_updates),
-                    "stats": dis_stats}
-                new_state["opt_dis"] = opt_dis
+            new_models["dis"] = dis_model
+            new_state["opt_dis"] = opt_dis
+            if d_lo is not None:
                 metrics["dis"] = d_lo
-        if return_pair:
-            return (new_state, metrics, jax.lax.stop_gradient(recon_c),
-                    clean_t)
         return new_state, metrics
 
-    def _d_step(self, state, est, clean_t):
-        """Standalone discriminator update (split adversarial program).
-
-        Exactly the fused step's update_d block: D loss on (clean_t,
-        est) with the pre-step dis params/stats; BN stats kept from the
-        est pass (reference train_second_phase_adversarial.py:254-325)."""
+    def _d_step(self, state, noisy, clean, noise, rng):
+        """Split-program discriminator update. Decodes with the CURRENT
+        decoder (forward only — no decoder backward lives in this
+        program, which is the HBM win) and applies the fused step's D
+        update. Runs BEFORE the G program, matching the reference's
+        D-then-G batch order."""
         models = state["models"]
-
-        def d_loss_fn(dparams):
-            dvars = {"params": dparams, "stats": models["dis"]["stats"]}
-            s_true, _ = self.discriminator.apply(dvars, clean_t, train=True)
-            s_est, st2 = self.discriminator.apply(dvars, est, train=True)
-            return self.adv_loss.discriminator_loss(s_true, s_est), st2
-
-        (d_lo, dis_stats), d_grads = jax.value_and_grad(
-            d_loss_fn, has_aux=True)(models["dis"]["params"])
-        d_updates, opt_dis = self.tx_dis.update(
-            d_grads, state["opt_dis"], models["dis"]["params"])
+        tparams = self._gen_params(models)
+        recon_c, _pc, clean_t, _cs, _ds, _ex = self._decode(
+            models, tparams, noisy, clean, noise, rng, train=True)
+        dis_model, opt_dis, d_lo = self._d_update(
+            models["dis"], state["opt_dis"],
+            jax.lax.stop_gradient(clean_t),
+            jax.lax.stop_gradient(recon_c))
         new_models = dict(models)
-        new_models["dis"] = {
-            "params": optax.apply_updates(models["dis"]["params"], d_updates),
-            "stats": dis_stats}
+        new_models["dis"] = dis_model
         return ({"models": new_models, "opt": state["opt"],
                  "opt_dis": opt_dis}, d_lo)
 
@@ -306,16 +333,16 @@ class Phase2Trainer:
         noisy, clean, noise = pad_and_shard(self.mesh, tuple(batch))
         update_d = self.adversarial and (self._batch_counter % self.d_step == 0)
         self._batch_counter += 1
-        if self.split_adv:
-            # one G-program specialization regardless of update_d (the
-            # extra outputs are device-resident and ~free to return)
-            new_state, metrics, est, clean_t = self._jit_step(
-                state, noisy, clean, noise, rng, train=True,
-                update_d=False, return_pair=True)
-            if update_d:
-                new_state, d_lo = self._jit_d(new_state, est, clean_t)
-                metrics = dict(metrics)
-                metrics["dis"] = d_lo
+        if self.split_adv and update_d:
+            # D program first (decoder forward only), then the G program
+            # through the updated discriminator — the reference's order.
+            # The same rng makes both programs sample identical
+            # reconstructions, like the reference's single shared tensor.
+            state, d_lo = self._jit_d(state, noisy, clean, noise, rng)
+            new_state, metrics = self._jit_step(
+                state, noisy, clean, noise, rng, train=True, update_d=False)
+            metrics = dict(metrics)
+            metrics["dis"] = d_lo
             return new_state, metrics
         return self._jit_step(state, noisy, clean, noise, rng, train=True,
                               update_d=update_d)

@@ -84,13 +84,19 @@ class PretrainTrainer:
     def _forward(self, enc_params, dec_params, enc_stats, dec_stats, wav,
                  rng, train: bool):
         cfg = self.cfg
+        # skip_mode='prob' needs a second stream for the decoder's
+        # train-time real-vs-zero skip coin (pvae_module.py:1731-1737);
+        # every other mode keeps the single-stream draw unchanged.
+        skip_rng = None
+        if cfg.skip_mode == "prob":
+            rng, skip_rng = jax.random.split(rng)
         out, enc_stats2 = self.encoder.apply(
             {"params": enc_params, "stats": enc_stats}, wav,
             train=train, rng=rng,
         )
         (recon, predict), dec_stats2 = self.decoder.apply(
             {"params": dec_params, "stats": dec_stats}, out.stft_x, out.z,
-            out.skips, train=train,
+            out.skips, train=train, rng=skip_rng,
         )
         s = cfg.num_samples
         wav_t = tile_samples(wav, s)

@@ -140,13 +140,15 @@ pbatch = tuple((np.random.default_rng(s).standard_normal((8, 1600)) * 0.3
 psharded = tuple(shard_batch(mesh, jnp.asarray(b[pid * 4:(pid + 1) * 4]))
                  for b in pbatch)
 prng = jax.random.PRNGKey(0)
-g_comp = ptr._jit_step.lower(pstate, *psharded, prng, train=True,
-                             update_d=False, return_pair=True).compile()
-mhu.sync_global_devices("mh_p2_g_compiled")
-ps1, pm, est, clean_t = g_comp(pstate, *psharded, prng)
-d_comp = ptr._jit_d.lower(ps1, est, clean_t).compile()
+# reference order: D program first (decoder forward only), then the G
+# program through the updated discriminator
+d_comp = ptr._jit_d.lower(pstate, *psharded, prng).compile()
 mhu.sync_global_devices("mh_p2_d_compiled")
-ps2, d_lo = d_comp(ps1, est, clean_t)
+ps1, d_lo = d_comp(pstate, *psharded, prng)
+g_comp = ptr._jit_step.lower(ps1, *psharded, prng, train=True,
+                             update_d=False).compile()
+mhu.sync_global_devices("mh_p2_g_compiled")
+ps2, pm = g_comp(ps1, *psharded, prng)
 
 with open(out_path, "w") as f:
     json.dump({"total": float(m["total"]), "kl": float(m["kl"]),
