@@ -54,7 +54,12 @@ def model_config(args, ini: IniConfig, latent_num: int = 1,
         stft=stft_from_ini(ini),
         encoder_channels=channels,
         causal=getattr(args, "causal", True),
-        zdim=getattr(args, "zdim", ini.getint("Network", "z_dim")),
+        # the reference's zdim source of truth is the --zdim flag
+        # (train.py:474,518), not [Network] z_dim; the ini is a LAZY
+        # fallback for flag-less callers only (eager evaluation would
+        # crash on inis without [Network] even when zdim is unused)
+        zdim=(args.zdim if hasattr(args, "zdim")
+              else ini.getint("Network", "z_dim")),
         num_samples=getattr(args, "num_samples", 1),
         skip_to_use=parse_skip_to_use(getattr(args, "skip_to_use", "012345")),
         latent="fc" if getattr(args, "fclatent", False) else "sliced",
@@ -121,6 +126,20 @@ def make_save_dir(ini: IniConfig, model_name: str) -> str:
     path = os.path.join(root, f"{stamp}_{model_name}")
     os.makedirs(path, exist_ok=True)
     return path
+
+
+def resolve_save_dir(args, ini: IniConfig, model_name: str) -> str:
+    """Run directory for a train CLI. --reload REQUIRES --reload_savedir:
+    silently falling back to a fresh timestamped dir would make the
+    trainer find no checkpoint there and restart from epoch 0 while the
+    user believes they are resuming."""
+    if getattr(args, "reload", False):
+        if not getattr(args, "reload_savedir", None):
+            raise SystemExit(
+                "--reload requires --reload_savedir (the existing run "
+                "directory to resume)")
+        return args.reload_savedir
+    return make_save_dir(ini, model_name)
 
 
 def add_common_train_flags(p: argparse.ArgumentParser):

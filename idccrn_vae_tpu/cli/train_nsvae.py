@@ -13,7 +13,7 @@ from idccrn_vae_tpu.cli.common import (
     add_common_train_flags,
     config_from_meta,
     loaders_from_ini,
-    make_save_dir,
+    resolve_save_dir,
     model_config,
 )
 from idccrn_vae_tpu.losses.nsvae_loss import NsvaeTrueKlLoss
@@ -37,6 +37,17 @@ def build_parser():
     p.add_argument("--matching", type=str, default="speech",
                    choices=["speech", "both"])
     p.add_argument("--fclatent", action="store_true")
+    # pretrained-VAE architecture flags for the torch-import (.pt) path,
+    # where no meta.json exists to supply skip_mode — without them a
+    # skipc/spadd-trained reference checkpoint would silently get
+    # pre_cfg.skip_mode='none' persisted into the NSVAE meta and the
+    # later phase-2 decoder rebuild would fail on param structure
+    p.add_argument("--skipc", action="store_true",
+                   help="pretrained VAEs use real skip connections "
+                        "(only needed with .pt checkpoints)")
+    p.add_argument("--skip_padding", action="store_true",
+                   help="pretrained VAEs are the 'spadd' zero-skip "
+                        "family (only needed with .pt checkpoints)")
     return p
 
 
@@ -105,8 +116,7 @@ def main(argv=None):
     train_loader, val_loader, n_train, n_val = loaders_from_ini(
         ini, "triplet", args.first_use_dataset)
     model_name = ini.get("User", "model_name")
-    save_dir = (args.reload_savedir if args.reload and args.reload_savedir
-                else make_save_dir(ini, model_name))
+    save_dir = resolve_save_dir(args, ini, model_name)
     logger = get_logger(f"{save_dir}/train.log", 1)
     logger.info("train %d, val %d segments -> %s", n_train, n_val, save_dir)
     trainer.fit(

@@ -5,12 +5,13 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import os
 
 from idccrn_vae_tpu.cli.common import (
     add_common_train_flags,
     config_from_meta,
     loaders_from_ini,
-    make_save_dir,
+    resolve_save_dir,
     parse_weights,
 )
 from idccrn_vae_tpu.losses.phase2 import TwoPhaseLoss
@@ -45,7 +46,22 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     ini = load_ini(args.cfg_file)
 
+    if args.load_de and not args.pre_decoder_dir:
+        raise SystemExit("--load_de requires --pre_decoder_dir (the "
+                         "pretrained CVAE decoder to initialize from); "
+                         "without it the fine-tune would silently start "
+                         "from a random decoder")
+    # guard BEFORE CheckpointManager: its constructor mkdirs, so a
+    # typo'd path would otherwise litter an empty dir and fail deep
+    # inside orbax instead of here
+    if not os.path.exists(
+            os.path.join(args.first_phase_folder, "meta.json")):
+        raise SystemExit(f"--first_phase_folder {args.first_phase_folder} "
+                         "holds no NSVAE checkpoint (meta.json missing)")
     nsvae_ckpt = CheckpointManager(args.first_phase_folder)
+    if not nsvae_ckpt.has_best():
+        raise SystemExit(f"{args.first_phase_folder} has no best snapshot "
+                         "— refusing to fine-tune from nothing")
     nsvae_meta = nsvae_ckpt.load_meta()
     enc_cfg = config_from_meta(nsvae_meta, "noisy_config")
     dec_cfg = dataclasses.replace(
@@ -80,8 +96,7 @@ def main(argv=None):
     train_loader, val_loader, n_train, n_val = loaders_from_ini(
         ini, "triplet", args.first_use_dataset)
     model_name = ini.get("User", "model_name")
-    save_dir = (args.reload_savedir if args.reload and args.reload_savedir
-                else make_save_dir(ini, model_name))
+    save_dir = resolve_save_dir(args, ini, model_name)
     logger = get_logger(f"{save_dir}/train.log", 1)
     logger.info("train %d, val %d segments -> %s", n_train, n_val, save_dir)
     trainer.fit(

@@ -8,7 +8,7 @@ from idccrn_vae_tpu.cli.common import (
     add_common_train_flags,
     datanorm_from_ini,
     loaders_from_ini,
-    make_save_dir,
+    resolve_save_dir,
     model_config,
     parse_weights,
 )
@@ -40,8 +40,7 @@ def main(argv=None):
     train_loader, val_loader, n_train, n_val = loaders_from_ini(
         ini, "pair", args.first_use_dataset)
     model_name = ini.get("User", "model_name")
-    save_dir = (args.reload_savedir if args.reload and args.reload_savedir
-                else make_save_dir(ini, model_name))
+    save_dir = resolve_save_dir(args, ini, model_name)
     logger = get_logger(f"{save_dir}/train.log", 1)
     logger.info("train %d, val %d segments -> %s", n_train, n_val, save_dir)
     trainer.fit(

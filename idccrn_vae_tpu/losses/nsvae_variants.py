@@ -68,6 +68,13 @@ class NsvaeSamplingKlLoss(NsvaeTrueKlLoss):
             g_clean, g_noise, g_noisy_speech, g_noisy_noise,
             z_s=z_speech, z_n=z_noise)
         if self.use_skips and self.w_resi != 0 and skips_clean is not None:
+            need_noise = self.cfg.latent_num == 2 and self.matching == "both"
+            if skips_noisy is None or (need_noise and skips_noise is None):
+                raise ValueError(
+                    "residual matching needs skips_noisy"
+                    + (" and skips_noise (matching='both', latent_num=2)"
+                       if need_noise else "")
+                    + " alongside skips_clean; got None")
             resi, resi_s, resi_n = self.residual_loss(
                 skips_clean, skips_noise, skips_noisy)
             total = self.w_kl * kl + self.w_resi * resi

@@ -32,7 +32,12 @@ def check_finite(tree, name: str = "tree") -> None:
 
 
 def checkify_finite(x: jnp.ndarray, name: str = "value") -> jnp.ndarray:
-    """In-graph finite check usable under jit (jax.debug.check)."""
+    """In-graph finite check via checkify.check.
+
+    The enclosing function must be wrapped with
+    `jax.experimental.checkify.checkify(...)` before (or instead of)
+    `jax.jit` — a bare checkify.check cannot be staged under plain jit
+    (see tests/test_utils.py for the wrapping pattern)."""
     from jax.experimental import checkify
 
     checkify.check(jnp.isfinite(x).all(), f"NaN/Inf detected in {name}")

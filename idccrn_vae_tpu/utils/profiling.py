@@ -72,10 +72,12 @@ def log_memory(logger=None) -> Dict[str, float]:
     out: Dict[str, float] = {}
     try:
         import resource
+        import sys
 
-        out["host_rss_mb"] = (
-            resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
-        )
+        rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+        # ru_maxrss is kilobytes on Linux but BYTES on macOS
+        out["host_rss_mb"] = rss / (1024.0 * 1024.0
+                                    if sys.platform == "darwin" else 1024.0)
     except Exception:  # pragma: no cover
         pass
     for d in jax.devices():
