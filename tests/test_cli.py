@@ -157,3 +157,30 @@ def test_cal_mean_std_cli(corpus):
           "--std_out", std_p, "--no_trim"])
     mean = np.loadtxt(mean_p)
     assert mean.shape == (257, 2)
+
+
+def test_reload_requires_savedir(corpus):
+    """--reload without --reload_savedir must fail fast: a silent fresh
+    save dir would restart training at epoch 0 while the user believes
+    they are resuming (shared guard, cli/common.py resolve_save_dir)."""
+    import pytest
+
+    from idccrn_vae_tpu.cli.train_vae import main as train_vae
+
+    tmp_path, dirs = corpus
+    ini = _write_ini(tmp_path, dirs, name='reload_guard')
+    with pytest.raises(SystemExit, match="reload_savedir"):
+        train_vae(["--cfg_file", ini, "--reload"])
+
+
+def test_phase2_guards_bad_first_phase_folder(tmp_path):
+    import pytest
+
+    from idccrn_vae_tpu.cli.train_phase2 import main as train_phase2
+
+    ini = tmp_path / "min.ini"
+    ini.write_text("[User]\nmodel_name = x\n")
+    with pytest.raises(SystemExit, match="meta.json missing"):
+        train_phase2(["--cfg_file", str(ini),
+                      "--first_phase_folder", str(tmp_path / "nope")])
+    assert not (tmp_path / "nope").exists()  # no dir littered
