@@ -172,8 +172,9 @@ def load_curves(model_dir):
             c = json.load(f)
         for split in ("train", "val"):
             series = c.get(split) or []
-            out[f"{split}_total"] = [round(e.get("total", float("nan")), 4)
-                                     for e in series]
+            out[f"{split}_total"] = [
+                round(e["total"], 4) if "total" in e else None
+                for e in series]
             if series:
                 out[f"{split}_last"] = {k: round(v, 4)
                                         for k, v in series[-1].items()}
@@ -357,6 +358,10 @@ def main():
         # with the noisy_summary the phase-2 eval stage recorded (the
         # val split and scorer are identical).
         noisy = report["stages"].get("eval", {}).get("noisy_summary", {})
+        if not noisy:
+            raise SystemExit(
+                "evalsup needs the 'eval' stage's noisy_summary in the "
+                "report for the paired delta — run the eval stage first")
         deltas = {k: round(summary["summary"][k]["mean"]
                            - noisy[k]["mean"], 4)
                   for k in summary.get("summary", {}) if k in noisy}

@@ -84,6 +84,7 @@ if kind == "pretrain":
     s1, m = compiled(state, w, rng, kl_w)
     if donate:
         state = s1
+    float(m["total"])  # scalar-fetch barrier: warm step fully retired
     t0 = time.perf_counter()
     for _ in range(4):
         s1, m = compiled(s1, w, rng, kl_w)
@@ -156,6 +157,7 @@ elif kind == "adv_split":
     dj = jax.jit(d_step).lower(state2, est, clean_t).compile()
     info.update({"d_" + k: v for k, v in mem(dj).items()})
     state3, lo = dj(state2, est, clean_t)
+    float(lo)  # scalar-fetch barrier before the timed window
     t0 = time.perf_counter()
     for _ in range(4):
         state3, est, clean_t = gj(state3, noisy, clean, noise, rng)
@@ -196,7 +198,9 @@ def main():
             prev = json.load(f)
         results.update({k: prev.get(k, results[k]) for k in results})
     done_b = {r["batch"] for r in results["pretrain_ceiling"]}
-    done_mit = {r["mitigation"] for r in results["mitigations"]}
+    done_mit = {(r["mitigation"], r.get("batch"))
+                for r in results["mitigations"]
+                if r.get("status") == "ok"}
 
     def save():
         with open(args.out, "w") as f:
@@ -220,8 +224,12 @@ def main():
     if first_fail is not None:
         for name, flags in (("remat", [1, 0]), ("donate", [0, 1]),
                             ("remat+donate", [1, 1])):
-            if name in done_mit:
+            if (name, first_fail) in done_mit:
                 continue
+            results["mitigations"] = [
+                r for r in results["mitigations"]
+                if not (r["mitigation"] == name
+                        and r.get("batch") == first_fail)]
             r = probe(["pretrain", first_fail, *flags])
             results["mitigations"].append(
                 {"batch": first_fail, "mitigation": name, **r})

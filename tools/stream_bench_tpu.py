@@ -117,6 +117,10 @@ def bench_lstm(backend, T, iters, stateful, compute="bf16"):
             st, acc = jax.lax.fori_loop(0, iters, body,
                                         (st0, out[0, 0, 0]))
             return acc
+        # the warm-up call above makes the jitted program run iters+1
+        # lstm calls; divide by the true call count so per-call numbers
+        # aren't inflated (the us-level margins here decide backends)
+        calls = iters + 1
     else:
 
         @jax.jit
@@ -131,6 +135,7 @@ def bench_lstm(backend, T, iters, stateful, compute="bf16"):
             _xc, acc = jax.lax.fori_loop(0, iters, body,
                                          (x, jnp.float32(0)))
             return acc
+        calls = iters
 
     p = jax.device_put(params)
     float(loop(p, x))
@@ -139,7 +144,7 @@ def bench_lstm(backend, T, iters, stateful, compute="bf16"):
         t0 = time.perf_counter()
         float(loop(p, x))
         walls.append(time.perf_counter() - t0)
-    return round(min(walls) / iters * 1e6, 1)  # us per call
+    return round(min(walls) / calls * 1e6, 1)  # us per call
 
 
 def main():

@@ -22,11 +22,12 @@ measured offset in BASELINE.md rather than fitting a correction into
 the model.
 """
 
+import os
 import sys
 
 import numpy as np
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from idccrn_vae_tpu.eval.metrics import stoi as stoi_native  # noqa: E402
 from idccrn_vae_tpu.eval.pesq_native import pesq_wb_native  # noqa: E402
@@ -74,6 +75,9 @@ def main():
 
     pairs = wav_pairs(sys.argv[1]) if len(sys.argv) > 1 else synthetic_pairs()
     ours, theirs, rows = [], [], []
+    if not pairs:
+        raise SystemExit("no (clean, deg) pairs found — expected "
+                         "*_clean.wav/*_deg.wav naming in the wav dir")
     for name, ref, deg in pairs:
         a = pesq_wb_native(ref, deg, FS)
         b = float(itu_pesq(FS, np.asarray(ref, np.float64),
