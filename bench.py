@@ -16,7 +16,25 @@ the measurement. This is sustained per-chip throughput, as in a
 production serving loop where host I/O overlaps compute. Verified
 convergent: 200- and 400-iteration windows agree to <1%.
 
-Prints ONE JSON line:
+OUTAGE RESILIENCE (round 4): the axon TPU tunnel this image uses has
+documented multi-hour outages (round 3 lost its driver perf capture to
+one). Before measuring, a tiny matmul PROBE runs in a `timeout`-guarded
+SUBPROCESS (a downed tunnel HANGS rather than erroring, so an in-process
+probe would wedge the benchmark); on failure the probe retries with a
+long backoff across BENCH_RETRY_WINDOW_S (default 2 h — the driver gets
+one shot per round, so the window is spent waiting out the outage). If
+the window expires, ONE parseable JSON line is still printed:
+  {"metric": "enhance_rtfx_per_chip", "value": null, "error":
+   "backend_unavailable", ...}
+and the process exits 0, so the driver records a structured failure
+instead of a null parse. Knobs (env):
+  BENCH_RETRY_WINDOW_S   total seconds to keep retrying (default 7200)
+  BENCH_PROBE_TIMEOUT_S  per-probe timeout (default 120)
+  BENCH_PROBE_INTERVAL_S sleep between failed probes (default 300)
+  IDCCRN_BENCH_FAKE_OUTAGE=1  force every probe to fail (tests the
+                              error path without a real outage)
+
+On success prints ONE JSON line:
   {"metric": "enhance_rtfx_per_chip", "value": N, "unit": "x_realtime",
    "vs_baseline": N/300}
 vs_baseline is the ratio against the BASELINE.json north-star target of
@@ -24,22 +42,90 @@ RTFx >= 300x per chip (the reference publishes no throughput numbers).
 """
 
 import json
+import os
+import subprocess
+import sys
 import time
-
-import jax
-import jax.numpy as jnp
-from jax import lax
-
-from idccrn_vae_tpu.models.config import DccrnConfig
-from idccrn_vae_tpu.models.nsvae import NsvaeEncoder, split_noisy_skips
-from idccrn_vae_tpu.models.vae import VaeDecoder
 
 FS = 16000
 SECONDS = 3.0
 ITERS = 150
 
+_PROBE_CODE = """
+import os, jax, jax.numpy as jnp
+p = os.environ.get("IDCCRN_BENCH_PLATFORM")
+if p:  # sitecustomize pins axon; the config update is what actually wins
+    jax.config.update("jax_platforms", p)
+x = jnp.ones((64, 64), jnp.float32)
+v = float((x @ x).sum())
+assert v == 64.0 * 64 * 64
+print("PROBE_OK", jax.devices()[0].platform)
+"""
 
-def main():
+
+def probe_backend_once(timeout_s: float) -> bool:
+    """One tiny-matmul liveness probe in a subprocess with a hard kill.
+
+    Subprocess because a downed tunnel makes device calls HANG (not
+    raise) — r3's judge probe hung for 90 s; only an external timeout
+    can bound that.
+    """
+    if os.environ.get("IDCCRN_BENCH_FAKE_OUTAGE") == "1":
+        return False
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", _PROBE_CODE],
+            timeout=timeout_s, capture_output=True, text=True)
+        return r.returncode == 0 and "PROBE_OK" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
+    except OSError:
+        return False
+
+
+def wait_for_backend() -> bool:
+    """Retry the probe across the configured window. Returns liveness."""
+    window = float(os.environ.get("BENCH_RETRY_WINDOW_S", 7200))
+    timeout_s = float(os.environ.get("BENCH_PROBE_TIMEOUT_S", 120))
+    interval = float(os.environ.get("BENCH_PROBE_INTERVAL_S", 300))
+    deadline = time.monotonic() + window
+    attempt = 0
+    while True:
+        attempt += 1
+        if probe_backend_once(timeout_s):
+            if attempt > 1:
+                print(f"# backend up after {attempt} probes", file=sys.stderr)
+            return True
+        remaining = deadline - time.monotonic()
+        if remaining <= 0:
+            return False
+        print(f"# backend probe {attempt} failed; retrying for another "
+              f"{remaining:.0f}s", file=sys.stderr)
+        time.sleep(min(interval, max(remaining, 0.0)))
+
+
+def emit_failure(reason: str, detail: str = "") -> None:
+    line = {"metric": "enhance_rtfx_per_chip", "value": None,
+            "unit": "x_realtime", "vs_baseline": None, "error": reason}
+    if detail:
+        line["detail"] = detail[:500]
+    print(json.dumps(line))
+
+
+def measure() -> float:
+    import jax
+
+    p = os.environ.get("IDCCRN_BENCH_PLATFORM")
+    if p:  # same override the probe honors (CPU smoke runs)
+        jax.config.update("jax_platforms", p)
+
+    import jax.numpy as jnp
+    from jax import lax
+
+    from idccrn_vae_tpu.models.config import DccrnConfig
+    from idccrn_vae_tpu.models.nsvae import NsvaeEncoder, split_noisy_skips
+    from idccrn_vae_tpu.models.vae import VaeDecoder
+
     cfg = DccrnConfig(causal=True, zdim=128, num_samples=1, latent_num=1,
                       compute="bf16")
     enc = NsvaeEncoder(cfg)
@@ -73,13 +159,29 @@ def main():
     for batch in (32, 128):
         key = jax.random.PRNGKey(7)
         wav = jax.random.normal(key, (batch, n), jnp.float32) * 0.1
-        float(bench_window(wav, key, 2))  # compile + warm
+        float(bench_window(wav, key, 2))  # compile + warm (scalar fetch)
         t0 = time.perf_counter()
         float(bench_window(wav, key, ITERS))  # fetch forces completion
         dt = time.perf_counter() - t0
         results.append(ITERS * batch * SECONDS / dt)
+    return max(results)
 
-    best = max(results)
+
+def main():
+    if not wait_for_backend():
+        emit_failure("backend_unavailable")
+        return
+    # The probe passed, but the tunnel can still drop mid-measurement;
+    # one more probe-gated retry covers that edge before giving up.
+    for retry in (True, False):
+        try:
+            best = measure()
+            break
+        except Exception as e:  # noqa: BLE001 — structured failure line
+            if retry and wait_for_backend():
+                continue
+            emit_failure("measurement_failed", f"{type(e).__name__}: {e}")
+            return
     print(json.dumps({
         "metric": "enhance_rtfx_per_chip",
         "value": round(best, 2),

@@ -1,0 +1,56 @@
+"""bench.py outage resilience: the driver gets ONE run per round, so a
+downed TPU tunnel must yield a parseable structured-failure JSON line
+(round 3 lost its perf capture to `parsed: null`). These tests exercise
+the probe and the forced-outage error path without touching the tunnel.
+"""
+
+import importlib.util
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BENCH = os.path.join(REPO, "bench.py")
+
+
+def _load_bench():
+    spec = importlib.util.spec_from_file_location("bench", BENCH)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_forced_outage_emits_parseable_failure_line():
+    """With every probe failing, bench.py must exit 0 and print exactly
+    one JSON line with error=backend_unavailable (never a traceback)."""
+    env = dict(os.environ,
+               IDCCRN_BENCH_FAKE_OUTAGE="1",
+               BENCH_RETRY_WINDOW_S="1",
+               BENCH_PROBE_INTERVAL_S="0.2")
+    r = subprocess.run([sys.executable, BENCH], env=env, timeout=120,
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    lines = [ln for ln in r.stdout.splitlines() if ln.strip()]
+    assert len(lines) == 1, r.stdout
+    parsed = json.loads(lines[0])
+    assert parsed["metric"] == "enhance_rtfx_per_chip"
+    assert parsed["value"] is None
+    assert parsed["error"] == "backend_unavailable"
+    # retries actually happened inside the window
+    assert r.stderr.count("probe") >= 2
+
+
+def test_probe_succeeds_on_cpu(monkeypatch):
+    """The liveness probe itself is sound: forcing the CPU platform via
+    the override the probe honors, one probe round-trips OK."""
+    monkeypatch.setenv("IDCCRN_BENCH_PLATFORM", "cpu")
+    monkeypatch.delenv("IDCCRN_BENCH_FAKE_OUTAGE", raising=False)
+    bench = _load_bench()
+    assert bench.probe_backend_once(timeout_s=120.0)
+
+
+def test_fake_outage_overrides_probe(monkeypatch):
+    monkeypatch.setenv("IDCCRN_BENCH_FAKE_OUTAGE", "1")
+    bench = _load_bench()
+    assert not bench.probe_backend_once(timeout_s=5.0)
