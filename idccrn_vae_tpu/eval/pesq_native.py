@@ -35,28 +35,30 @@ PARAMETER PROVENANCE: the four 49-entry parameter tables below
 (centre_of_band_bark, width_of_band_bark, abs_thresh_power,
 centre_of_band_hz) are the published ITU-T P.862 16 kHz constants
 (reference C `pesqpar.h`, reproduced in every open PESQ port),
-vendored verbatim. They cross-validate to ~1e-6 via three independent
+vendored verbatim, as are the integer FFT-bin->band grouping
+(`nr_of_hz_bands_per_bark_band_16k`) and the 26-point level-alignment
+filter mask (`align_filter_dB`). They cross-validate via independent
 internal invariants checked in tests/test_pesq_native.py: adjacent
 band centres telescope exactly through the widths, every absolute
-threshold sits exactly on a 0.01 dB grid, and the low-frequency
-warping satisfies bark = hz/100. The integer FFT-bin->band grouping
-(ITU `nr_of_hz_bands_per_bark_band_16k`) is DERIVED from the vendored
-warping table (piecewise-linear Hz->Bark through the 49 published
-centres; pow_dens_correction = 100/nr) rather than vendored — the
-derivation reproduces the ITU grouping across the validated range and
-can differ only in how the >7.3 kHz residual bins split between the
-top two bands. Scalar constants (Sp, Sl, weights, bounds) are the
+threshold sits exactly on a 0.01 dB grid, the low-frequency warping
+satisfies bark = hz/100, and an independent DERIVATION of the bin
+grouping from the warping tables (piecewise-linear Hz->Bark through
+the 49 published centres, kept in `_derive_grouping`) reproduces the
+vendored table at 47/49 bands exactly — the remaining two (bands
+16/17) differ by a single boundary-bin placement, the known ambiguity
+of reconstructing an integer partition from float centres.
+pow_dens_correction = 100/nr matches the published float table to
+<=1e-5 relative. Scalar constants (Sp, Sl, weights, bounds) are the
 published P.862 values.
 
-Known remaining deviations from the ITU reference code, all outside
-the psychoacoustic model: the level-alignment bandpass is a brickwall
-350-3250 Hz (ITU: 26-point FIR dB mask of the same band); time
-alignment is constant-delay (the ITU per-utterance variable-delay
-search and bad-interval re-alignment are not needed for the
-speech-enhancement case, where enhancement is in-place and delay is
-0); the >16 s long-signal time weighting is identity for the 3-10 s
-utterances this framework evaluates. tools/validate_pesq.py measures
-the residual offset against the ITU package when one is importable.
+Known remaining deviation from the ITU reference code, outside the
+psychoacoustic model: time alignment is constant-delay (the ITU
+per-utterance variable-delay search and bad-interval re-alignment are
+not needed for the speech-enhancement case, where enhancement is
+in-place and delay is 0); the >16 s long-signal time weighting is
+identity for the 3-10 s utterances this framework evaluates.
+tools/validate_pesq.py measures the residual offset against the ITU
+package when one is importable.
 
 Scope: both inputs must be the same utterance (reference vs degraded)
 with a constant relative delay — the speech-enhancement evaluation
@@ -135,16 +137,29 @@ CENTRE_OF_BAND_HZ = np.array([
     5636.199219, 6234.313477, 6946.734863, 7796.473633])
 
 
-def _build_grouping():
-    """FFT-bin -> Bark-band assignment derived from the vendored tables.
+# ITU P.862 `nr_of_hz_bands_per_bark_band_16k` (pesqpar.h), vendored
+# verbatim: how many consecutive FFT bins (31.25 Hz spacing, DC first)
+# each of the 49 Bark bands consumes. Sums to 256 = NFFT/2.
+NR_OF_HZ_BANDS_PER_BARK_BAND_16K = np.array([
+    1, 1, 1, 1, 1, 1, 1, 1, 2, 1,
+    1, 1, 1, 1, 2, 1, 1, 2, 2, 2,
+    2, 2, 2, 2, 2, 3, 3, 3, 3, 4,
+    3, 4, 5, 4, 5, 6, 6, 7, 8, 9,
+    9, 12, 12, 15, 16, 18, 21, 25, 20], dtype=np.int64)
 
-    Each bin (31.25 Hz spacing, DC included) is mapped to Bark via
-    piecewise-linear interpolation through (0,0) and the 49 published
-    (centre_hz, centre_bark) pairs (last-slope extrapolation above the
-    top centre), then assigned to the band whose
-    [centre - width/2, centre + width/2) Bark interval contains it.
-    Band 0 holds only the DC bin (its interval tops out at 15.7 Hz),
-    reproducing the ITU grouping; all 256 bins are consumed.
+
+def _derive_grouping():
+    """Independent re-derivation of the bin->band partition from the
+    vendored warping tables — kept as a cross-check of the vendored
+    integer table (tests/test_pesq_native.py asserts 47/49 agreement;
+    bands 16/17 place one boundary bin differently, the irreducible
+    ambiguity of reconstructing the partition from float centres).
+
+    Each bin is mapped to Bark via piecewise-linear interpolation
+    through (0,0) and the 49 published (centre_hz, centre_bark) pairs
+    (last-slope extrapolation above the top centre), then assigned to
+    the band whose [centre - width/2, centre + width/2) Bark interval
+    contains it.
     """
     bin_hz = np.arange(NFFT // 2) * (FS / NFFT)           # 0 .. 7968.75
     hz_pts = np.concatenate([[0.0], CENTRE_OF_BAND_HZ])
@@ -158,13 +173,21 @@ def _build_grouping():
          [CENTRE_OF_BAND_BARK[-1] + WIDTH_OF_BAND_BARK[-1] / 2]])
     band = np.clip(np.searchsorted(edges, bin_bark, side="right") - 1,
                    0, NB - 1)
+    nr = np.bincount(band, minlength=NB)
+    return nr
+
+
+def _build_grouping(nr):
+    """(NB, NFFT/2) 0/1 matrix assigning consecutive bins per the ITU
+    counts (P.862 freq_warping walks hz_band forward band by band)."""
+    band = np.repeat(np.arange(NB), nr)
     group = np.zeros((NB, NFFT // 2))
     group[band, np.arange(NFFT // 2)] = 1.0
-    nr = group.sum(axis=1)
-    return group, nr
+    return group
 
 
-_GROUP, _NR_OF_HZ_BANDS = _build_grouping()
+_NR_OF_HZ_BANDS = NR_OF_HZ_BANDS_PER_BARK_BAND_16K.astype(np.float64)
+_GROUP = _build_grouping(NR_OF_HZ_BANDS_PER_BARK_BAND_16K)
 # P.862 pow_dens_correction_factor: 100 / nr_of_hz_bands (the ITU table
 # equals this up to <=1e-5 relative float artifacts)
 _POW_DENS_CORRECTION = 100.0 / _NR_OF_HZ_BANDS
@@ -175,21 +198,43 @@ _POW_DENS_CORRECTION = 100.0 / _NR_OF_HZ_BANDS
 # ---------------------------------------------------------------------------
 
 
-def _apply_band_gain_fft(x, lo_hz, hi_hz):
-    """Zero-phase brickband filter via full-signal FFT — the shape of
-    the P.862 level-alignment bandpass (pass 350-3250 Hz)."""
+# ITU P.862 `align_filter_dB` (pesqmain.c), vendored verbatim: the
+# 26-point (Hz, dB) piecewise-linear response of the level-alignment
+# bandpass. -500 dB = stop; the 300->350 Hz and 3250->3500 Hz segments
+# are linear-in-dB transition ramps (NOT a brickwall).
+ALIGN_FILTER_DB = np.array([
+    [0.0, -500.0], [50.0, -500.0], [100.0, -500.0], [125.0, -500.0],
+    [160.0, -500.0], [200.0, -500.0], [250.0, -500.0], [300.0, -500.0],
+    [350.0, 0.0], [400.0, 0.0], [500.0, 0.0], [600.0, 0.0],
+    [630.0, 0.0], [800.0, 0.0], [1000.0, 0.0], [1250.0, 0.0],
+    [1600.0, 0.0], [2000.0, 0.0], [2500.0, 0.0], [3000.0, 0.0],
+    [3250.0, 0.0], [3500.0, -500.0], [4000.0, -500.0], [5000.0, -500.0],
+    [6300.0, -500.0], [8000.0, -500.0]])
+
+
+def _apply_filter_db(x, curve):
+    """P.862 apply_filter: zero-pad to the next power of two, FFT,
+    multiply each bin by 10^(dB/20) with the dB response interpolated
+    piecewise-linearly through `curve` and normalized to the 1 kHz
+    response, inverse FFT, truncate."""
     n = len(x)
-    spec = np.fft.rfft(x)
-    f = np.fft.rfftfreq(n, 1.0 / FS)
-    gain = ((f >= lo_hz) & (f <= hi_hz)).astype(np.float64)
-    return np.fft.irfft(spec * gain, n)
+    nfft = 1 << int(np.ceil(np.log2(n)))
+    spec = np.fft.rfft(x, nfft)
+    f = np.arange(len(spec)) * (FS / nfft)
+    db = np.interp(f, curve[:, 0], curve[:, 1])
+    db -= np.interp(1000.0, curve[:, 0], curve[:, 1])  # overallGainFilter
+    return np.fft.irfft(spec * 10.0 ** (db / 20.0), nfft)[:n]
 
 
 def fix_power_level(x):
-    """Scale so the 350-3250 Hz band power averages TARGET_POWER
-    (P.862 fix_power_level)."""
-    band = _apply_band_gain_fft(x, 350.0, 3250.0)
-    power = np.mean(band ** 2) + 1e-20
+    """Scale so the align-filtered band power averages TARGET_POWER
+    (P.862 fix_power_level). Per the ITU code, the power divisor
+    includes the DATAPADDING tail (pow_of's divisor is
+    Nsamples + DATAPADDING_MSECS*(Fs/1000)) even though the padding is
+    appended later in this flow — the zeros contribute no energy but
+    do dilute the mean."""
+    band = _apply_filter_db(x, ALIGN_FILTER_DB)
+    power = (band ** 2).sum() / (len(x) + DATAPADDING) + 1e-20
     return x * np.sqrt(TARGET_POWER / power)
 
 

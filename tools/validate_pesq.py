@@ -15,11 +15,12 @@ Expected result: the native implementation runs on the vendored ITU
 P.862 parameter tables and the published P.862 model structure
 (eval/pesq_native.py), so the delta against the ITU package should be
 small — the BASELINE.json acceptance target is |delta PESQ| <= 0.02
-on enhancement output. Residual offset sources, if any, are the three
-documented non-model deviations (brickwall level-alignment filter,
-constant-delay alignment, no bad-interval re-search); report any
-measured offset in BASELINE.md rather than fitting a correction into
-the model.
+on enhancement output. Residual offset sources, if any, are the
+remaining documented non-model deviations (constant-delay alignment,
+no bad-interval re-search — the level-alignment filter and the
+bin->Bark grouping are vendored ITU constants since round 4); report
+any measured offset in BASELINE.md rather than fitting a correction
+into the model.
 """
 
 import os
