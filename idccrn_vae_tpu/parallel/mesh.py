@@ -62,11 +62,22 @@ def pad_small_tpu_batch(mesh: Mesh, batch, min_per_device: int = 8):
     zdim=128 (probed in tools/repro_xla_dense_backward.py /
     XLA_DENSE_REPRO.json; reformulating the dense op did not help — the
     mis-fused instruction is the first encoder conv's kernel grad).
-    Repeating the WHOLE batch k = ceil(8*n_dev/B) times sidesteps it:
-    uniform whole-batch repetition leaves every batch-MEAN loss,
-    gradient, and BN batch statistic unchanged (all losses in losses/
-    reduce by mean; duplicated rows draw fresh MC noise, which only
-    tightens the sampling estimate). No-op off-TPU or when the batch is
+    Repeating the WHOLE batch k = ceil(8*n_dev/B) times sidesteps it.
+
+    Exactness (probed precisely in round 4): every loss term is either
+    (a) a batch-mean of per-row functions (recon, KL, SI-SNR, the MI
+    outer mean) — unchanged in expectation, with duplicated rows
+    drawing fresh MC noise that only tightens the sampling estimate —
+    or (b) computed from the batch AS A SET, and every such term is
+    exactly duplicate-invariant: BN batch statistics are means/vars
+    (tiling-invariant given the same activations), and the minibatch
+    MI estimator's aggregate posterior logsumexp_j log q(z|x_j) -
+    log(kB) gains log k in both terms, which cancel (pinned by
+    tests/test_losses.py::
+    test_mi_estimator_exactly_invariant_under_batch_tiling — a round-3
+    review conjectured MI drift here; the algebra refutes it). So
+    padding never shifts an expected value for ANY loss in losses/,
+    mi_weight != 0 included. No-op off-TPU or when the batch is
     already big enough and evenly shardable; escape hatch
     IDCCRN_NO_BATCH_PAD=1 (=0/unset keeps padding on).
     """

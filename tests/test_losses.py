@@ -147,3 +147,34 @@ def test_standard_prior_modes():
     assert float(jnp.sum(jnp.abs(p0.delta_i))) == 0.0
     p1 = standard_prior_like(g, "ri_corr")
     np.testing.assert_allclose(np.asarray(p1.delta_i), 1.0)
+
+
+def test_mi_estimator_exactly_invariant_under_batch_tiling():
+    """pad_small_tpu_batch (parallel/mesh.py) repeats the WHOLE batch k
+    times on TPU when per-chip B < 8. Round-3 review conjectured the
+    minibatch MI estimator drifts under that tiling because its
+    aggregate-posterior term sees k*B rows — this test pins the
+    refutation: duplicating every mixture component adds log k to the
+    logsumexp and log k to the log(k*B) normalizer, which cancel, so
+    log q(z) is EXACTLY duplicate-invariant; with the z draws tiled
+    too, the estimate matches to f32 reassociation noise (~1e-6 — the
+    logsumexp reduces k*B terms in a different order). (In a real
+    padded step the
+    duplicated rows draw fresh reparameterization noise, which — as
+    for the recon MC term — changes only the sampling noise of the
+    outer mean around the identical expectation.)"""
+    from idccrn_vae_tpu.losses.complex_gaussian import mutual_information
+
+    rng = np.random.default_rng(11)
+    g = _rand_gauss(5, 7, 4, 11)
+    z_r = jnp.asarray(rng.standard_normal((5, 3, 7, 4)).astype(np.float32))
+    z_i = jnp.asarray(rng.standard_normal((5, 3, 7, 4)).astype(np.float32))
+
+    def tile(x, k):
+        return jnp.concatenate([x] * k, axis=0)
+
+    base = float(mutual_information(g, z_r, z_i))
+    for k in (2, 3):
+        gk = CGauss(*(None if f is None else tile(f, k) for f in g))
+        mk = float(mutual_information(gk, tile(z_r, k), tile(z_i, k)))
+        np.testing.assert_allclose(mk, base, rtol=1e-5)
