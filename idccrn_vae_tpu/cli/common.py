@@ -80,10 +80,22 @@ def datanorm_from_ini(ini: IniConfig, enabled: bool):
     return mean, std
 
 
+def _index_cache_path(data_dir: str, name: str, split: str) -> str:
+    """Where the segment-index cache lives: IDCCRN_CACHE_DIR if set,
+    else NEXT TO the indexed corpus — not the CWD (the reference drops
+    its pkl caches in the CWD, which litters whatever directory the
+    trainer is launched from; round-3 review flagged the droppings)."""
+    root = os.environ.get("IDCCRN_CACHE_DIR") or data_dir
+    return os.path.join(root, f"{name}_{split}.json")
+
+
 def loaders_from_ini(ini: IniConfig, mode: str, first_use: bool,
                      cache_dir: str = "."):
     """Build train/val BatchLoaders for 'single'/'pair'/'triplet' corpora
-    (the reference's three build_dataloader functions)."""
+    (the reference's three build_dataloader functions).
+
+    `cache_dir` is kept as a LEGACY READ location (pre-round-4 caches
+    landed in the CWD); new caches are written via _index_cache_path."""
     df = "DataFrame"
     seq_len = ini.getint(df, "sequence_len")
     batch_size = ini.getint(df, "batch_size")
@@ -98,18 +110,22 @@ def loaders_from_ini(ini: IniConfig, mode: str, first_use: bool,
     def build(split):
         if mode == "single":
             key = "train_data_dir" if split == "train" else "val_data_dir"
-            files = find_wavs(ini.get("User", key), suffix)
+            data_dir = ini.get("User", key)
+            files = find_wavs(data_dir, suffix)
             clean_dir = noise_dir = None
         else:
             key = (f"noisy_{split}_data_dir")
-            files = find_wavs(ini.get("User", key), suffix)
+            data_dir = ini.get("User", key)
+            files = find_wavs(data_dir, suffix)
             clean_dir = ini.get("User", f"clean_{split}_data_dir")
             noise_dir = (ini.get("User", f"noise_{split}_data_dir")
                          if mode == "triplet" else None)
-        cache = os.path.join(cache_dir, f"{name}_{split}.json")
+        cache = _index_cache_path(data_dir, name, split)
+        legacy = os.path.join(cache_dir, f"{name}_{split}.json")
         index = build_segment_index(
             files, seq_len, hop, fs, trim=trim, cache_path=cache,
             use_cache=not first_use, shuffle=shuffle,
+            legacy_cache_paths=() if legacy == cache else (legacy,),
         )
         ds = SegmentDataset(index, mode, clean_dir, noise_dir)
         return BatchLoader(ds, batch_size, shuffle=shuffle,

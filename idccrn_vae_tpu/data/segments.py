@@ -16,6 +16,7 @@ from __future__ import annotations
 import json
 import os
 import random
+import warnings
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -67,6 +68,7 @@ def build_segment_index(
     use_cache: bool = False,
     shuffle: bool = True,
     seed: int = 123,
+    legacy_cache_paths: Sequence[str] = (),
 ) -> List[Tuple[str, int, int]]:
     """List of (wavfile, start, end) windows of (sequence_len-1)*hop
     samples, mirroring SpeechSequencesFull.compute_len
@@ -76,7 +78,10 @@ def build_segment_index(
     (file list, sequence_len, hop, trim, shuffle, seed): the reference's
     pkl cache is keyed only by the first_use flag, so changing the
     window geometry or corpus silently reused a stale index — here a
-    mismatch rebuilds instead."""
+    mismatch rebuilds instead. `legacy_cache_paths` are additional
+    READ-ONLY locations (e.g. the pre-round-4 CWD cache spot) consulted
+    when `cache_path` has no valid entry; writes only ever go to
+    `cache_path`."""
     import hashlib
 
     cache_key = {
@@ -88,12 +93,17 @@ def build_segment_index(
         "shuffle": bool(shuffle),
         "seed": int(seed),
     }
-    if use_cache and cache_path and os.path.exists(cache_path):
-        with open(cache_path) as f:
-            cached = json.load(f)
-        if isinstance(cached, dict) and cached.get("key") == cache_key:
-            return [tuple(e) for e in cached["index"]]
-        # legacy bare-list caches carry no key -> also rebuilt
+    if use_cache:
+        candidates = ([cache_path] if cache_path else []) + list(
+            legacy_cache_paths)
+        for cand in candidates:
+            if not (cand and os.path.exists(cand)):
+                continue
+            with open(cand) as f:
+                cached = json.load(f)
+            if isinstance(cached, dict) and cached.get("key") == cache_key:
+                return [tuple(e) for e in cached["index"]]
+            # legacy bare-list caches carry no key -> also rebuilt
 
     seg_samples = (sequence_len - 1) * hop
     index: List[Tuple[str, int, int]] = []
@@ -116,9 +126,13 @@ def build_segment_index(
     if shuffle:
         random.Random(seed).shuffle(index)
     if cache_path:
-        os.makedirs(os.path.dirname(cache_path) or ".", exist_ok=True)
-        with open(cache_path, "w") as f:
-            json.dump({"key": cache_key, "index": index}, f)
+        try:
+            os.makedirs(os.path.dirname(cache_path) or ".", exist_ok=True)
+            with open(cache_path, "w") as f:
+                json.dump({"key": cache_key, "index": index}, f)
+        except OSError as e:  # e.g. read-only corpus mount — index still valid
+            warnings.warn(f"could not write segment-index cache "
+                          f"{cache_path}: {e}")
     return index
 
 

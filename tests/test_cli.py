@@ -123,7 +123,9 @@ def test_train_vae_cli_and_meta(corpus, monkeypatch):
                "--batch_size", "2", "--write_wavs"])
     assert os.path.exists(os.path.join(out_dir, "per_utterance.json"))
     recon = os.path.join(out_dir, "recon")
-    assert sorted(os.listdir(recon)) == sorted(os.listdir(dirs["clean_val"]))
+    # compare wavs only: the segment-index cache now lives in the corpus dir
+    assert sorted(os.listdir(recon)) == sorted(
+        f for f in os.listdir(dirs["clean_val"]) if f.endswith(".wav"))
 
 
 def test_supervised_cli(corpus, monkeypatch):
@@ -144,7 +146,8 @@ def test_supervised_cli(corpus, monkeypatch):
     assert os.path.exists(os.path.join(out_dir, "summary.json"))
     assert os.path.exists(os.path.join(out_dir, "per_utterance.json"))
     enhanced = os.path.join(out_dir, "enhanced")
-    assert sorted(os.listdir(enhanced)) == sorted(os.listdir(dirs["noisy_val"]))
+    assert sorted(os.listdir(enhanced)) == sorted(
+        f for f in os.listdir(dirs["noisy_val"]) if f.endswith(".wav"))
 
 
 def test_cal_mean_std_cli(corpus):

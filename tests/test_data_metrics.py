@@ -294,3 +294,56 @@ def test_batch_loader_abandoned_iteration_cleans_up(wav_dir):
     while threading.active_count() > before and time.time() < deadline:
         time.sleep(0.05)
     assert threading.active_count() <= before
+
+
+def test_index_cache_routed_out_of_cwd(wav_dir, tmp_path, monkeypatch):
+    """Round-4 fix for the CWD-droppings footgun: loaders_from_ini
+    writes the segment-index cache next to the corpus (or into
+    IDCCRN_CACHE_DIR), never into the launch directory; a legacy CWD
+    cache is still honored read-only."""
+    from idccrn_vae_tpu.cli.common import _index_cache_path
+    from idccrn_vae_tpu.data.segments import build_segment_index as bsi
+
+    # default: next to the corpus
+    monkeypatch.delenv("IDCCRN_CACHE_DIR", raising=False)
+    assert _index_cache_path(str(wav_dir), "ds", "train") == str(
+        wav_dir / "ds_train.json")
+    # env override wins
+    cdir = tmp_path / "cachehome"
+    monkeypatch.setenv("IDCCRN_CACHE_DIR", str(cdir))
+    assert _index_cache_path(str(wav_dir), "ds", "train") == str(
+        cdir / "ds_train.json")
+
+    # legacy CWD cache is read when the primary has no valid entry,
+    # and the rebuild-on-miss still writes ONLY to the primary
+    files = sorted(str(wav_dir / f) for f in os.listdir(wav_dir))
+    legacy = str(tmp_path / "legacy.json")
+    idx = bsi(files, 81, 100, FS, trim=False, shuffle=False,
+              cache_path=legacy)
+    primary = str(tmp_path / "sub" / "primary.json")
+    got = bsi(files, 81, 100, FS, trim=False, shuffle=False,
+              cache_path=primary, use_cache=True,
+              legacy_cache_paths=(legacy,))
+    assert got == idx
+    assert not os.path.exists(primary)  # legacy HIT -> nothing rewritten
+    # stale legacy (different geometry) -> rebuilt and written to primary
+    got2 = bsi(files, 41, 100, FS, trim=False, shuffle=False,
+               cache_path=primary, use_cache=True,
+               legacy_cache_paths=(legacy,))
+    assert os.path.exists(primary)
+    assert got2[0][2] - got2[0][1] == 4000
+
+
+def test_index_cache_write_failure_is_nonfatal(wav_dir):
+    """A read-only corpus mount must not kill indexing — the cache write
+    warns and the index is still returned."""
+    import warnings as _w
+
+    files = sorted(str(wav_dir / f) for f in os.listdir(wav_dir))
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        idx = build_segment_index(
+            files, 81, 100, FS, trim=False, shuffle=False,
+            cache_path="/proc/definitely/not/writable/c.json")
+    assert idx
+    assert any("segment-index cache" in str(r.message) for r in rec)
