@@ -165,11 +165,17 @@ def run_enhancement_eval(
         noisy_scores = score_pairs(noisy, clean, names, fs)
         logger.info("== noisy (unprocessed) vs clean ==")
         noisy_summary = summarize_scores(noisy_scores, logger)
+        result["noisy_per_utterance"] = noisy_scores
         result["noisy_summary"] = noisy_summary
         result["delta"] = {
             k: {"mean": summary[k]["mean"] - noisy_summary[k]["mean"]}
             for k in summary
         }
+        # persisted so per-condition reports (eval/report.py SNR-bucket
+        # medians) can pair enhanced and noisy scores per utterance
+        with open(os.path.join(out_dir, "noisy_per_utterance.json"),
+                  "w") as f:
+            json.dump(noisy_scores, f, indent=1)
 
     if latent_diagnostics:
         from idccrn_vae_tpu.eval.diagnostics import (

@@ -12,16 +12,19 @@ nsvae_dccrn/train_nsvae.py:472-589 -> train_second_phase_decoder.py:
 (1,32,64,128,128,256,256), sequence_len=481 (3 s segments @16 kHz,
 nfft=512/hop=100/win=400), causal; compute bf16 on the TPU.
 
-The corpus is synthetic but structured like the task: "speech" =
-harmonic series with per-utterance f0, syllabic amplitude modulation
-and formant-style resonances; "noise" = white+pink mixtures; noisy =
-speech + noise at 0-10 dB SNR. Train and val/eval splits are disjoint
-draws. Success criterion: the TPU-trained checkpoint chain's enhanced
-output beats the unprocessed noisy input on SI-SNR (positive delta)
-on the held-out split.
+The corpus is the speech-like surrogate of data/synth.py (round 4):
+source-filter "speech" with formant trajectories, voiced/unvoiced
+phones and real silences; stationary and nonstationary noise; mixed at
+DNS3-style SNR buckets [0,5)/[5,10)/[10,15)/[15,20) dB assigned
+round-robin so per-bucket medians are balanced (the reference's
+published report format, results/*.png / BASELINE.md). Train and
+val/eval splits are disjoint draws. Success criterion: the TPU-trained
+checkpoint chain's enhanced output beats the unprocessed noisy input
+on SI-SNR (positive delta) on the held-out split.
 
 Writes E2E_TRAIN.json at the repo root: per-stage loss curves, wall
-times, the eval summary, and the SI-SNR/ESTOI/PESQ deltas vs noisy.
+times, the eval summary, the SI-SNR/ESTOI/PESQ deltas vs noisy, and
+per-SNR-bucket median tables (eval/report.py).
 
 Usage:  python tools/e2e_train_tpu.py [--root DIR] [--epochs-scale S]
         (budget ~40-80 min on one v5e chip; first compiles are minutes)
@@ -41,71 +44,29 @@ sys.path.insert(0, REPO)
 FS = 16000
 UTT_SECONDS = 6.5          # 2 full 3 s training segments per utterance
 N_TRAIN = 96
-N_VAL = 24   # val loader drops incomplete batches; 48 segments = 3 val batches of 16
-
-
-def _formant_filter(x, rng):
-    """2-3 random resonators in the speech formant range."""
-    from scipy.signal import lfilter
-
-    for fc in rng.uniform([300, 900, 2200], [800, 2000, 3400])[
-            : rng.integers(2, 4)]:
-        r = 0.97
-        th = 2 * np.pi * fc / FS
-        x = lfilter([1 - r], [1, -2 * r * np.cos(th), r * r], x)
-    return x
-
-
-def _speech(rng, n):
-    """Harmonic 'voice': f0 drift + vibrato, syllabic on/off envelope,
-    formant coloring."""
-    t = np.arange(n) / FS
-    f0 = rng.uniform(100, 250) * (
-        1 + 0.02 * np.sin(2 * np.pi * rng.uniform(4, 7) * t)
-        + 0.1 * np.sin(2 * np.pi * rng.uniform(0.2, 0.5) * t))
-    phase = 2 * np.pi * np.cumsum(f0) / FS
-    x = sum(np.sin(k * phase) / k for k in range(1, 9))
-    syllable = np.clip(np.sin(
-        2 * np.pi * rng.uniform(2, 4) * t + rng.uniform(0, 2 * np.pi)) + 0.3,
-        0, None)
-    x = _formant_filter(x * syllable, rng)
-    return (0.3 * x / (np.abs(x).max() + 1e-9)).astype(np.float32)
-
-
-def _noise(rng, n):
-    """White + pink mixture."""
-    w = rng.standard_normal(n)
-    spec = np.fft.rfft(rng.standard_normal(n))
-    f = np.maximum(np.fft.rfftfreq(n, 1 / FS), 1.0)
-    pink = np.fft.irfft(spec / np.sqrt(f), n)
-    x = w / np.abs(w).max() + 2.0 * pink / np.abs(pink).max()
-    return (0.3 * x / np.abs(x).max()).astype(np.float32)
+N_VAL = 32   # val loader drops incomplete batches; 64 segments = 4 val
+             # batches of 16; 32 utts = 8 per SNR bucket (round-robin)
 
 
 def make_corpus(root):
-    from idccrn_vae_tpu.data.audio_io import write_wav
+    from idccrn_vae_tpu.data.synth import make_corpus as synth_corpus
 
-    dirs = {}
-    for name in ("clean_train", "clean_val", "noise_train", "noise_val",
-                 "noisy_train", "noisy_val"):
-        d = os.path.join(root, name)
-        os.makedirs(d, exist_ok=True)
-        dirs[name] = d
-    n = int(UTT_SECONDS * FS)
-    for split, count, seed in (("train", N_TRAIN, 0), ("val", N_VAL, 1)):
-        rng = np.random.default_rng(seed)
-        for i in range(count):
-            sp, nz = _speech(rng, n), _noise(rng, n)
-            snr = rng.uniform(0.0, 10.0)
-            nz = nz * np.sqrt((sp**2).mean()
-                              / ((nz**2).mean() * 10 ** (snr / 10)))
-            write_wav(f"{dirs[f'clean_{split}']}/clean_fileid_{i}.wav",
-                      sp, FS)
-            write_wav(f"{dirs[f'noise_{split}']}/noise_fileid_{i}.wav",
-                      nz.astype(np.float32), FS)
-            write_wav(f"{dirs[f'noisy_{split}']}/noisy_fileid_{i}.wav",
-                      (sp + nz).astype(np.float32), FS)
+    dirs, _ = synth_corpus(root, N_TRAIN, N_VAL, UTT_SECONDS, FS)
     return dirs
+
+
+def load_bucket_map(root, split="val"):
+    """fileid wav name -> SNR bucket label, from corpus_meta.json."""
+    path = os.path.join(root, "corpus_meta.json")
+    if not os.path.exists(path):
+        return {}, []
+    with open(path) as f:
+        meta = json.load(f)
+    prefix = f"{split}/"
+    bucket_of = {k[len(prefix):]: v["bucket"]
+                 for k, v in meta["files"].items()
+                 if k.startswith(prefix)}
+    return bucket_of, meta.get("buckets", [])
 
 
 def write_ini(root, dirs, name, model_name, batch_size, epochs, extra=""):
@@ -294,6 +255,27 @@ def main():
                       "--dlr", "1e-4", "--d_step", "3"])
         record("p2adv", time.time() - t0, latest(root, "p2adv"))
 
+    def bucket_report(out_dir):
+        """Per-SNR-bucket median table (the reference's report format)
+        from the eval's per-utterance score files + corpus_meta.json."""
+        from idccrn_vae_tpu.eval.report import (bucketed_median_report,
+                                                format_bucket_table)
+
+        bucket_of, order = load_bucket_map(root)
+        pu_path = os.path.join(out_dir, "per_utterance.json")
+        npu_path = os.path.join(out_dir, "noisy_per_utterance.json")
+        if not (bucket_of and os.path.exists(pu_path)
+                and os.path.exists(npu_path)):
+            return None
+        with open(pu_path) as f:
+            per_utt = json.load(f)
+        with open(npu_path) as f:
+            noisy_per_utt = json.load(f)
+        rep = bucketed_median_report(per_utt, noisy_per_utt, bucket_of,
+                                     order)
+        print(format_bucket_table(rep), flush=True)
+        return rep
+
     def run_eval(stage, model_name, out_name):
         from idccrn_vae_tpu.cli.test_enhance import main as test_enhance
 
@@ -315,6 +297,7 @@ def main():
             "summary": summary.get("summary"),
             "noisy_summary": summary.get("noisy_summary"),
             "delta_vs_noisy": deltas,
+            "per_snr_bucket": bucket_report(out_dir),
             "provenance": summary.get("provenance"),
         })
         ok = deltas.get("sisdr", -1) > 0
@@ -365,9 +348,29 @@ def main():
         deltas = {k: round(summary["summary"][k]["mean"]
                            - noisy[k]["mean"], 4)
                   for k in summary.get("summary", {}) if k in noisy}
+        # bucket table: pair with the phase-2 eval's noisy per-utt
+        # scores (identical val split + scorer)
+        sup_bucket = None
+        npu_path = os.path.join(root, "eval_p2",
+                                "noisy_per_utterance.json")
+        pu_path = os.path.join(out_dir, "per_utterance.json")
+        if os.path.exists(npu_path) and os.path.exists(pu_path):
+            from idccrn_vae_tpu.eval.report import (
+                bucketed_median_report, format_bucket_table)
+
+            bucket_of, order = load_bucket_map(root)
+            if bucket_of:
+                with open(pu_path) as f:
+                    per_utt = json.load(f)
+                with open(npu_path) as f:
+                    noisy_per_utt = json.load(f)
+                sup_bucket = bucketed_median_report(
+                    per_utt, noisy_per_utt, bucket_of, order)
+                print(format_bucket_table(sup_bucket), flush=True)
         record("evalsup", wall, extra={
             "summary": summary.get("summary"),
             "delta_vs_noisy": deltas,
+            "per_snr_bucket": sup_bucket,
             "provenance": summary.get("provenance"),
         })
         print(f"supervised deltas vs noisy: {deltas}")
