@@ -24,6 +24,37 @@ def parse_skip_to_use(s: str) -> Tuple[int, ...]:
     return tuple(int(c) for c in s)
 
 
+def bucket_map_from_meta(meta_path: str, split: str = "val"):
+    """(utterance name -> SNR bucket label, bucket order) from a
+    data/synth.py corpus_meta.json — feeds the eval runners'
+    per-SNR-bucket median report (the reference's published format)."""
+    import json
+
+    with open(meta_path) as f:
+        meta = json.load(f)
+    prefix = f"{split}/"
+    bucket_of = {k[len(prefix):]: v["bucket"]
+                 for k, v in meta.get("files", {}).items()
+                 if k.startswith(prefix)}
+    return bucket_of, meta.get("buckets", [])
+
+
+def add_bucket_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--corpus_meta", type=str, default=None,
+                   help="corpus_meta.json (data/synth.py) — adds a "
+                        "per-SNR-bucket median report to the summary")
+    p.add_argument("--corpus_split", type=str, default="val",
+                   help="which split's bucket labels to use")
+
+
+def bucket_kwargs(args) -> dict:
+    if not getattr(args, "corpus_meta", None):
+        return {}
+    bucket_of, order = bucket_map_from_meta(args.corpus_meta,
+                                            args.corpus_split)
+    return {"bucket_of": bucket_of, "bucket_order": order}
+
+
 def parse_weights(s: str) -> Tuple[float, ...]:
     return tuple(float(w) for w in s.split(","))
 

@@ -11,6 +11,8 @@ import dataclasses
 import os
 
 from idccrn_vae_tpu.cli.common import (
+    add_bucket_args,
+    bucket_kwargs,
     load_enhancement_checkpoints,
     match_clean_paths,
 )
@@ -53,6 +55,7 @@ def build_parser():
                         "chunks — same outputs, peak decoder memory "
                         "divided by the chunk count (f32 S=10 exceeds "
                         "one chip's HBM at batch>=16 in one shot)")
+    add_bucket_args(p)
     return p
 
 
@@ -81,7 +84,7 @@ def main(argv=None):
     run_enhancement_eval(
         enhancer, noisy_paths, clean_paths, args.out_dir,
         batch_size=args.batch_size, write_wavs=args.write_wavs,
-        latent_diagnostics=args.latent_diag,
+        latent_diagnostics=args.latent_diag, **bucket_kwargs(args),
     )
 
 

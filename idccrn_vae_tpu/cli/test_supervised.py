@@ -5,7 +5,12 @@ from __future__ import annotations
 
 import argparse
 
-from idccrn_vae_tpu.cli.common import config_from_meta, match_clean_paths
+from idccrn_vae_tpu.cli.common import (
+    add_bucket_args,
+    bucket_kwargs,
+    config_from_meta,
+    match_clean_paths,
+)
 from idccrn_vae_tpu.data.segments import find_wavs
 from idccrn_vae_tpu.eval.runners import run_supervised_eval
 from idccrn_vae_tpu.models.dccrn import SupervisedDccrn
@@ -29,6 +34,7 @@ def build_parser():
     p.add_argument("--write_wavs", action="store_true",
                    help="save the enhanced outputs (the reference's "
                         "supervised_dccrn/test.py --save_output)")
+    add_bucket_args(p)
     return p
 
 
@@ -49,7 +55,7 @@ def main(argv=None):
     clean_paths = match_clean_paths(noisy_paths, args.clean_dir)
     run_supervised_eval(model, variables, noisy_paths, clean_paths,
                         args.out_dir, cfg, batch_size=args.batch_size,
-                        write_wavs=args.write_wavs)
+                        write_wavs=args.write_wavs, **bucket_kwargs(args))
 
 
 if __name__ == "__main__":

@@ -42,6 +42,27 @@ def _log_provenance(logger) -> dict:
     return prov
 
 
+def _attach_bucket_report(result, out_dir, bucket_of, bucket_order,
+                          logger) -> None:
+    """Per-SNR-bucket median table (eval/report.py — the reference's
+    published report format) appended to the result + written to
+    <out_dir>/bucket_report.json. Deltas appear when the result carries
+    noisy per-utterance scores; otherwise rows are enhanced-only."""
+    from idccrn_vae_tpu.eval.report import (
+        bucketed_median_report,
+        format_bucket_table,
+    )
+
+    rep = bucketed_median_report(
+        result["per_utterance"], result.get("noisy_per_utterance", {}),
+        bucket_of, bucket_order)
+    result["per_snr_bucket"] = rep
+    logger.info("== per-SNR-bucket medians ==\n%s",
+                format_bucket_table(rep))
+    with open(os.path.join(out_dir, "bucket_report.json"), "w") as f:
+        json.dump(rep, f, indent=1)
+
+
 def utt_names(paths: Sequence[str]) -> List[str]:
     """Per-utterance display/output names. Basenames when unique;
     duplicated basenames (find_wavs walks recursively, so per-speaker
@@ -140,12 +161,16 @@ def run_enhancement_eval(
     latent_diagnostics: bool = False,
     logger=None,
     rng=None,
+    bucket_of=None,
+    bucket_order=None,
 ) -> dict:
     """SE evaluation (test_nsvae_se.py run / test_se_cvaefinetune run).
 
     Writes <out_dir>/per_utterance.json + summary in log + optionally
     enhanced wavs; reports deltas vs the unprocessed noisy input like
-    test_se_cvaefinetune.
+    test_se_cvaefinetune. With `bucket_of` (utterance name -> SNR
+    bucket label, e.g. from a corpus_meta.json) also writes the
+    per-bucket median table.
     """
     os.makedirs(out_dir, exist_ok=True)
     logger = logger or get_logger(os.path.join(out_dir, "log.txt"), 1)
@@ -176,6 +201,9 @@ def run_enhancement_eval(
         with open(os.path.join(out_dir, "noisy_per_utterance.json"),
                   "w") as f:
             json.dump(noisy_scores, f, indent=1)
+    if bucket_of:
+        _attach_bucket_report(result, out_dir, bucket_of, bucket_order,
+                              logger)
 
     if latent_diagnostics:
         from idccrn_vae_tpu.eval.diagnostics import (
@@ -322,7 +350,8 @@ def run_supervised_eval(model, variables, noisy_paths, clean_paths, out_dir,
                         cfg, fs: int = 16000, batch_size: int = 8,
                         latent_diagnostics: bool = True,
                         write_wavs: bool = False,
-                        logger=None) -> dict:
+                        logger=None, bucket_of=None,
+                        bucket_order=None) -> dict:
     """Supervised DCCRN eval (supervised_dccrn/test.py, WITHOUT the
     reference's debug `idx > 5: break` truncation), including the
     bottleneck-latent covariance diagnostics the reference computes from
@@ -386,6 +415,12 @@ def run_supervised_eval(model, variables, noisy_paths, clean_paths, out_dir,
         result["latent_diag"] = {k: v.tolist() if hasattr(v, "tolist") else v
                                  for k, v in diag.items()
                                  if not k.startswith("cov_")}
+    if bucket_of:
+        # no noisy baseline in the supervised runner (reference parity:
+        # supervised_dccrn/test.py scores enhanced only) -> rows are
+        # enhanced-only medians
+        _attach_bucket_report(result, out_dir, bucket_of, bucket_order,
+                              logger)
     with open(os.path.join(out_dir, "per_utterance.json"), "w") as f:
         json.dump(per_utt, f, indent=1)
     with open(os.path.join(out_dir, "summary.json"), "w") as f:

@@ -157,15 +157,30 @@ def test_full_pipeline(corpus, monkeypatch):
                   "--adversarial", "--dlr", "1e-4", "--d_step", "2"])
     p2a_dir = _model_dir(tmp_path, "p2adv")
 
-    # 6. phase-2 enhancement eval
+    # 6. phase-2 enhancement eval, with the per-SNR-bucket report path
+    #    (--corpus_meta, the data/synth.py meta schema)
+    meta_path = str(tmp_path / "corpus_meta.json")
+    with open(meta_path, "w") as f:
+        json.dump({"buckets": ["[0,5)", "[5,10)"],
+                   "files": {f"val/noisy_fileid_{i}.wav":
+                             {"snr_db": 2.0 + 5 * (i % 2),
+                              "bucket": ["[0,5)", "[5,10)"][i % 2]}
+                             for i in range(3)}}, f)
     out2 = str(tmp_path / "eval_phase2")
     test_enhance(["--nsvae_dir", p2a_dir, "--phase", "2",
                   "--noisy_dir", dirs["noisy_val"],
                   "--clean_dir", dirs["clean_val"], "--out_dir", out2,
                   "--num_samples", "2", "--batch_size", "2",
-                  "--compute", "f32"])
+                  "--compute", "f32", "--corpus_meta", meta_path])
     with open(os.path.join(out2, "per_utterance.json")) as f:
         per = json.load(f)
     assert len(per) == 3
+    with open(os.path.join(out2, "bucket_report.json")) as f:
+        buckets = json.load(f)
+    assert list(buckets) == ["[0,5)", "[5,10)"]
+    assert buckets["[0,5)"]["n"] == 2 and buckets["[5,10)"]["n"] == 1
+    assert "delta" in buckets["[0,5)"]["sisdr"]
+    with open(os.path.join(out2, "summary.json")) as f:
+        assert "per_snr_bucket" in json.load(f)
     for v in per.values():
         assert np.isfinite(v["sisdr"])

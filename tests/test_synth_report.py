@@ -149,3 +149,32 @@ def test_bucketed_report_unbucketed_group():
         {"x.wav": {"sisdr": 1.0}}, {}, {}, ["[0,5)"])
     assert list(rep) == ["(unbucketed)"]
     assert rep["(unbucketed)"]["sisdr"] == {"enhanced": 1.0}
+
+
+def test_cli_bucket_plumbing(tmp_path):
+    """--corpus_meta path: bucket_map_from_meta parses the synth meta
+    and the runner helper writes bucket_report.json + attaches
+    per_snr_bucket to the result."""
+    import logging
+
+    from idccrn_vae_tpu.cli.common import bucket_map_from_meta
+    from idccrn_vae_tpu.eval.runners import _attach_bucket_report
+
+    root = str(tmp_path)
+    _, meta = make_corpus(root, n_train=1, n_val=4, utt_seconds=1.0,
+                          seed=2)
+    bucket_of, order = bucket_map_from_meta(
+        os.path.join(root, "corpus_meta.json"))
+    assert set(bucket_of) == {f"noisy_fileid_{i}.wav" for i in range(4)}
+    assert order == [bucket_label(*b) for b in SNR_BUCKETS]
+
+    result = {
+        "per_utterance": {n: {"sisdr": 9.0} for n in bucket_of},
+        "noisy_per_utterance": {n: {"sisdr": 4.0} for n in bucket_of},
+    }
+    _attach_bucket_report(result, root, bucket_of, order,
+                          logging.getLogger("test"))
+    assert list(result["per_snr_bucket"]) == order
+    assert result["per_snr_bucket"]["[5,10)"]["sisdr"]["delta"] == 5.0
+    with open(os.path.join(root, "bucket_report.json")) as f:
+        assert json.load(f) == result["per_snr_bucket"]

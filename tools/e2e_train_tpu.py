@@ -258,8 +258,7 @@ def main():
     def bucket_report(out_dir):
         """Per-SNR-bucket median table (the reference's report format)
         from the eval's per-utterance score files + corpus_meta.json."""
-        from idccrn_vae_tpu.eval.report import (bucketed_median_report,
-                                                format_bucket_table)
+        from idccrn_vae_tpu.eval.report import bucketed_median_report
 
         bucket_of, order = load_bucket_map(root)
         pu_path = os.path.join(out_dir, "per_utterance.json")
@@ -271,33 +270,38 @@ def main():
             per_utt = json.load(f)
         with open(npu_path) as f:
             noisy_per_utt = json.load(f)
-        rep = bucketed_median_report(per_utt, noisy_per_utt, bucket_of,
-                                     order)
-        print(format_bucket_table(rep), flush=True)
-        return rep
+        return bucketed_median_report(per_utt, noisy_per_utt, bucket_of,
+                                      order)
 
     def run_eval(stage, model_name, out_name):
         from idccrn_vae_tpu.cli.test_enhance import main as test_enhance
+        from idccrn_vae_tpu.eval.report import format_bucket_table
 
         print(f"== held-out enhancement eval ({model_name}) ==", flush=True)
         out_dir = os.path.join(root, out_name)
+        meta_path = os.path.join(root, "corpus_meta.json")
+        bucket_flags = (["--corpus_meta", meta_path]
+                        if os.path.exists(meta_path) else [])
         t0 = time.time()
         test_enhance(["--nsvae_dir", latest(root, model_name), "--phase",
                       "2", "--noisy_dir", dirs["noisy_val"],
                       "--clean_dir", dirs["clean_val"],
                       "--out_dir", out_dir, "--num_samples", "10",
                       "--batch_size", "12", "--compute", "bf16",
-                      "--write_wavs"])
+                      "--write_wavs", *bucket_flags])
         wall = time.time() - t0
         with open(os.path.join(out_dir, "summary.json")) as f:
             summary = json.load(f)
         deltas = {k: round(v["mean"], 4)
                   for k, v in summary.get("delta", {}).items()}
+        buckets = summary.get("per_snr_bucket") or bucket_report(out_dir)
+        if buckets:
+            print(format_bucket_table(buckets), flush=True)
         record(stage, wall, extra={
             "summary": summary.get("summary"),
             "noisy_summary": summary.get("noisy_summary"),
             "delta_vs_noisy": deltas,
-            "per_snr_bucket": bucket_report(out_dir),
+            "per_snr_bucket": buckets,
             "provenance": summary.get("provenance"),
         })
         ok = deltas.get("sisdr", -1) > 0
