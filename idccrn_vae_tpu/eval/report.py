@@ -16,6 +16,14 @@ from typing import Dict, Mapping, Optional, Sequence
 
 import numpy as np
 
+#: Fixed series colors (colorblind-validated categorical slots; the
+#: unprocessed-noisy baseline is neutral gray + hatched — identity never
+#: rests on color alone). Order is load-bearing: assign by position.
+_BASELINE_COLOR = "#6e6d68"
+_SERIES_COLORS = ("#2a78d6", "#eb6834", "#1baf7a")  # blue/orange/aqua
+_METRIC_LABELS = {"sisdr": "SI-SDR (dB)", "pesq": "PESQ (WB)",
+                  "estoi": "ESTOI", "rmse": "RMSE"}
+
 
 def bucketed_median_report(
     per_utt: Mapping[str, Mapping[str, float]],
@@ -87,3 +95,100 @@ def format_bucket_table(report: Mapping[str, dict],
               for i in range(len(head))]
     fmt = "  ".join(f"{{:<{w}}}" for w in widths)
     return "\n".join(fmt.format(*r) for r in [head] + lines)
+
+
+def plot_bucket_boxes(
+    systems: Mapping[str, Mapping[str, Mapping[str, float]]],
+    bucket_of: Mapping[str, str],
+    out_png: str,
+    metrics: Sequence[str] = ("sisdr", "pesq", "estoi"),
+    bucket_order: Optional[Sequence[str]] = None,
+    title: Optional[str] = None,
+) -> None:
+    """Per-SNR-bucket box plots, one subplot per metric — the exact
+    shape of the reference's published results figures
+    (/root/reference/results/*_combined_metrics_large_font.png: grouped
+    boxes per SNR bucket, one box per system).
+
+    systems: ordered {system name -> per-utterance scores}; put the
+    unprocessed-noisy baseline FIRST — it is drawn gray + hatched so the
+    baseline reads without color. Colors are assigned by position from
+    a fixed colorblind-validated list (max 3 non-baseline systems).
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from matplotlib.patches import Patch
+
+    names = list(systems)
+    if len(names) > 1 + len(_SERIES_COLORS):
+        raise ValueError(
+            f"at most {1 + len(_SERIES_COLORS)} systems per figure "
+            "(colorblind-safe palette cap) — facet instead")
+    colors = [_BASELINE_COLOR] + list(_SERIES_COLORS)
+
+    buckets = [b for b in (bucket_order or [])
+               if any(bucket_of.get(n) == b
+                      for s in systems.values() for n in s)]
+    if not buckets:
+        buckets = sorted({bucket_of.get(n, "(unbucketed)")
+                          for s in systems.values() for n in s})
+
+    fig, axes = plt.subplots(1, len(metrics),
+                             figsize=(4.2 * len(metrics), 4.2))
+    axes = np.atleast_1d(axes)
+    n_sys = len(names)
+    group_w = 0.8
+    box_w = group_w / n_sys
+    ink, muted = "#0b0b0b", "#52514e"
+    for ax, metric in zip(axes, metrics):
+        for si, name in enumerate(names):
+            per_utt = systems[name]
+            data, positions = [], []
+            for bi, bucket in enumerate(buckets):
+                vals = [v[metric] for n, v in per_utt.items()
+                        if metric in v and bucket_of.get(n) == bucket]
+                if vals:
+                    data.append(vals)
+                    positions.append(
+                        bi + (si - (n_sys - 1) / 2) * box_w)
+            if not data:
+                continue
+            bp = ax.boxplot(
+                data, positions=positions, widths=box_w * 0.85,
+                patch_artist=True, medianprops={"color": ink,
+                                                "linewidth": 1.4},
+                whiskerprops={"color": colors[si], "linewidth": 1.2},
+                capprops={"color": colors[si], "linewidth": 1.2},
+                flierprops={"marker": ".", "markersize": 4,
+                            "markerfacecolor": colors[si],
+                            "markeredgecolor": "none"})
+            for box in bp["boxes"]:
+                box.set(facecolor=colors[si], alpha=0.55,
+                        edgecolor=colors[si], linewidth=1.2,
+                        hatch="///" if si == 0 else None)
+        ax.set_xticks(range(len(buckets)))
+        ax.set_xticklabels(buckets, color=ink)
+        ax.set_xlabel("SNR bucket (dB)", color=muted)
+        ax.set_title(_METRIC_LABELS.get(metric, metric), color=ink)
+        ax.grid(axis="y", color="#e4e3de", linewidth=0.8)
+        ax.set_axisbelow(True)
+        for spine in ("top", "right"):
+            ax.spines[spine].set_visible(False)
+        for spine in ("left", "bottom"):
+            ax.spines[spine].set_color(muted)
+        ax.tick_params(colors=muted)
+    handles = [Patch(facecolor=colors[i], alpha=0.55,
+                     edgecolor=colors[i],
+                     hatch="///" if i == 0 else None, label=n)
+               for i, n in enumerate(names)]
+    fig.legend(handles=handles, loc="upper center",
+               ncol=min(n_sys, 4), frameon=False,
+               bbox_to_anchor=(0.5, 1.0 if not title else 0.96))
+    if title:
+        fig.suptitle(title, color=ink, y=1.0)
+    fig.tight_layout(rect=(0, 0, 1, 0.90))
+    fig.savefig(out_png, dpi=150, facecolor="#fcfcfb",
+                bbox_inches="tight")
+    plt.close(fig)

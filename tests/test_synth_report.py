@@ -151,6 +151,29 @@ def test_bucketed_report_unbucketed_group():
     assert rep["(unbucketed)"]["sisdr"] == {"enhanced": 1.0}
 
 
+def test_plot_bucket_boxes(tmp_path):
+    """Reference-style grouped box-plot figure renders; the palette cap
+    (baseline + 3 systems) is enforced."""
+    from idccrn_vae_tpu.eval.report import plot_bucket_boxes
+
+    rng = np.random.default_rng(0)
+    buckets = ["[0,5)", "[5,10)"]
+    names = [f"noisy_fileid_{i}.wav" for i in range(8)]
+    bucket_of = {n: buckets[i % 2] for i, n in enumerate(names)}
+
+    def mk(base):
+        return {n: {"sisdr": base + rng.normal(), "pesq": 1.5,
+                    "estoi": 0.7} for n in names}
+
+    out = str(tmp_path / "boxes.png")
+    plot_bucket_boxes({"Noisy": mk(2), "CF": mk(7), "ADV": mk(8)},
+                      bucket_of, out, bucket_order=buckets)
+    assert os.path.getsize(out) > 10_000
+    with pytest.raises(ValueError, match="facet"):
+        plot_bucket_boxes({c: mk(1) for c in "abcde"}, bucket_of,
+                          str(tmp_path / "x.png"))
+
+
 def test_cli_bucket_plumbing(tmp_path):
     """--corpus_meta path: bucket_map_from_meta parses the synth meta
     and the runner helper writes bucket_report.json + attaches

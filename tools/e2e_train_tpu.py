@@ -151,7 +151,7 @@ def main():
     ap.add_argument("--skip-corpus", action="store_true")
     ap.add_argument("--stages",
                     default="cvae,nvae,nsvae,p2,p2adv,eval,evaladv,"
-                            "sup,evalsup,dnsmos",
+                            "sup,evalsup,dnsmos,figures",
                     help="comma list of stages to (re)run")
     args = ap.parse_args()
 
@@ -414,6 +414,36 @@ def main():
                     k: round(entry[tag][k] - entry["noisy"][k], 4)
                     for k in entry[tag]}
         record("dnsmos", time.time() - t0, extra=entry)
+
+    if "figures" in stages:
+        # the reference's published artifact format: grouped per-SNR-
+        # bucket box plots of all systems (results/*_combined_metrics_*)
+        from idccrn_vae_tpu.eval.report import plot_bucket_boxes
+
+        bucket_of, order = load_bucket_map(root)
+        systems = {}
+        npu = os.path.join(root, "eval_p2", "noisy_per_utterance.json")
+        if os.path.exists(npu):
+            with open(npu) as f:
+                systems["Noisy"] = json.load(f)
+        for tag, name in (("eval_p2", "I-DCCRN-VAE (CF)"),
+                          ("eval_p2adv", "I-DCCRN-VAE (ADV)"),
+                          ("eval_sup", "DCCRN (supervised)")):
+            p = os.path.join(root, tag, "per_utterance.json")
+            if os.path.exists(p):
+                with open(p) as f:
+                    systems[name] = json.load(f)
+        if bucket_of and systems:
+            print("== results figure ==", flush=True)
+            png = os.path.join(root, "results_combined_metrics.png")
+            t0 = time.time()
+            plot_bucket_boxes(
+                systems, bucket_of, png, bucket_order=order,
+                title="Held-out enhancement by input SNR "
+                      "(synthetic speech-like corpus)")
+            record("figures", time.time() - t0,
+                   extra={"figure": png, "systems": list(systems)})
+            print(f"figure: {png}")
     print(f"report: {report_path}")
 
 
