@@ -209,7 +209,9 @@ def test_export_model_cli(corpus, monkeypatch):  # noqa: F811
                 "--out_dir", served])
     from idccrn_vae_tpu.data.audio_io import read_wav
 
-    for name in os.listdir(dirs["noisy_val"]):
+    # wavs only: the corpus dir also holds the segment-index cache json
+    for name in (f for f in os.listdir(dirs["noisy_val"])
+                 if f.endswith(".wav")):
         enhanced, fs = read_wav(os.path.join(served, name))
         original, _ = read_wav(os.path.join(dirs["noisy_val"], name))
         assert fs == 16000 and len(enhanced) == len(original)

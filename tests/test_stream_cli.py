@@ -32,7 +32,9 @@ def test_stream_enhance_cli_supervised(corpus, monkeypatch):  # noqa: F811
     # every input got an equal-length enhanced wav
     from idccrn_vae_tpu.data.audio_io import read_wav
 
-    for name in os.listdir(dirs["noisy_val"]):
+    # wavs only: the corpus dir also holds the segment-index cache json
+    for name in (f for f in os.listdir(dirs["noisy_val"])
+                 if f.endswith(".wav")):
         enhanced, fs = read_wav(os.path.join(out_dir, name))
         original, _ = read_wav(os.path.join(dirs["noisy_val"], name))
         assert fs == 16000
