@@ -31,8 +31,15 @@ instead of a null parse. Knobs (env):
   BENCH_RETRY_WINDOW_S   total seconds to keep retrying (default 7200)
   BENCH_PROBE_TIMEOUT_S  per-probe timeout (default 120)
   BENCH_PROBE_INTERVAL_S sleep between failed probes (default 300)
+  BENCH_MEASURE_TIMEOUT_S hard kill on the measurement subprocess
+                          (default 2400 — covers the first remote
+                          compile); a tunnel dropping MID-measurement
+                          hangs rather than raising, so the measurement
+                          also runs in a subprocess
   IDCCRN_BENCH_FAKE_OUTAGE=1  force every probe to fail (tests the
                               error path without a real outage)
+  IDCCRN_BENCH_FAKE_HANG=1    make the measure subprocess hang (tests
+                              the watchdog)
 
 On success prints ONE JSON line:
   {"metric": "enhance_rtfx_per_chip", "value": N, "unit": "x_realtime",
@@ -167,21 +174,54 @@ def measure() -> float:
     return max(results)
 
 
+def run_measure_subprocess():
+    """Run measure() in a SUBPROCESS with a hard timeout.
+
+    The probe covers a tunnel that is down *before* the run; a tunnel
+    that drops *mid-measurement* makes the in-flight device call HANG
+    (not raise) — the same pathology the probe subprocess exists for —
+    so the measurement needs its own external kill. Returns
+    (rtfx | None, error detail | None). BENCH_MEASURE_TIMEOUT_S
+    (default 2400 s) must cover the multi-minute first remote compile.
+    """
+    timeout_s = float(os.environ.get("BENCH_MEASURE_TIMEOUT_S", 2400))
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--measure"],
+            timeout=timeout_s, capture_output=True, text=True)
+    except subprocess.TimeoutExpired:
+        return None, f"measurement hang (> {timeout_s:.0f}s, killed)"
+    if r.stderr:
+        sys.stderr.write(r.stderr)
+    if r.returncode != 0:
+        tail = (r.stderr or "").strip().splitlines()
+        return None, (tail[-1][:300] if tail
+                      else f"measure exited {r.returncode}")
+    for line in reversed(r.stdout.splitlines()):
+        if line.startswith("MEASURE_RESULT "):
+            return float(line.split(" ", 1)[1]), None
+    return None, "measure subprocess printed no result line"
+
+
 def main():
+    if "--measure" in sys.argv:
+        if os.environ.get("IDCCRN_BENCH_FAKE_HANG") == "1":
+            time.sleep(3600)  # exercises the parent's watchdog in tests
+        print(f"MEASURE_RESULT {measure()}", flush=True)
+        return
     if not wait_for_backend():
         emit_failure("backend_unavailable")
         return
-    # The probe passed, but the tunnel can still drop mid-measurement;
-    # one more probe-gated retry covers that edge before giving up.
+    # The probe passed, but the tunnel can still drop mid-measurement
+    # (hang OR error); one more probe-gated retry covers that edge.
     for retry in (True, False):
-        try:
-            best = measure()
+        best, err = run_measure_subprocess()
+        if best is not None:
             break
-        except Exception as e:  # noqa: BLE001 — structured failure line
-            if retry and wait_for_backend():
-                continue
-            emit_failure("measurement_failed", f"{type(e).__name__}: {e}")
-            return
+        if retry and wait_for_backend():
+            continue
+        emit_failure("measurement_failed", err or "")
+        return
     print(json.dumps({
         "metric": "enhance_rtfx_per_chip",
         "value": round(best, 2),

@@ -115,8 +115,13 @@ def _index_cache_path(data_dir: str, name: str, split: str) -> str:
     """Where the segment-index cache lives: IDCCRN_CACHE_DIR if set,
     else NEXT TO the indexed corpus — not the CWD (the reference drops
     its pkl caches in the CWD, which litters whatever directory the
-    trainer is launched from; round-3 review flagged the droppings)."""
-    root = os.environ.get("IDCCRN_CACHE_DIR") or data_dir
+    trainer is launched from; round-3 review flagged the droppings).
+    A .txt file-list corpus (find_wavs supports those) caches beside
+    the list file."""
+    root = os.environ.get("IDCCRN_CACHE_DIR")
+    if not root:
+        root = (data_dir if os.path.isdir(data_dir)
+                else os.path.dirname(os.path.abspath(data_dir)))
     return os.path.join(root, f"{name}_{split}.json")
 
 

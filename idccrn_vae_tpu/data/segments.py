@@ -99,8 +99,11 @@ def build_segment_index(
         for cand in candidates:
             if not (cand and os.path.exists(cand)):
                 continue
-            with open(cand) as f:
-                cached = json.load(f)
+            try:
+                with open(cand) as f:
+                    cached = json.load(f)
+            except (ValueError, OSError):
+                continue  # truncated/corrupt cache -> rebuild, not crash
             if isinstance(cached, dict) and cached.get("key") == cache_key:
                 return [tuple(e) for e in cached["index"]]
             # legacy bare-list caches carry no key -> also rebuilt
@@ -128,8 +131,13 @@ def build_segment_index(
     if cache_path:
         try:
             os.makedirs(os.path.dirname(cache_path) or ".", exist_ok=True)
-            with open(cache_path, "w") as f:
+            # atomic write: the cache lives in a SHARED corpus dir, so a
+            # concurrent reader (multi-host worker) must never see a
+            # half-written file
+            tmp = f"{cache_path}.tmp.{os.getpid()}"
+            with open(tmp, "w") as f:
                 json.dump({"key": cache_key, "index": index}, f)
+            os.replace(tmp, cache_path)
         except OSError as e:  # e.g. read-only corpus mount — index still valid
             warnings.warn(f"could not write segment-index cache "
                           f"{cache_path}: {e}")

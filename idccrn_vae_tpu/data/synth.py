@@ -191,6 +191,8 @@ def active_rms(x: np.ndarray, rel_db: float = 26.0) -> float:
     ~ITU P.56 active speech level — keeps pause density out of the
     nominal SNR."""
     n_fr = len(x) // _HOP
+    if n_fr == 0:  # shorter than one frame -> plain RMS
+        return float(np.sqrt((x ** 2).mean()) + 1e-12)
     fe = (x[:n_fr * _HOP].reshape(n_fr, _HOP) ** 2).mean(axis=1)
     thresh = fe.max() * 10 ** (-rel_db / 10)
     act = fe[fe >= thresh]

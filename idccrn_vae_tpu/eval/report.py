@@ -104,16 +104,18 @@ def plot_bucket_boxes(
     metrics: Sequence[str] = ("sisdr", "pesq", "estoi"),
     bucket_order: Optional[Sequence[str]] = None,
     title: Optional[str] = None,
+    baseline: Optional[str] = None,
 ) -> None:
     """Per-SNR-bucket box plots, one subplot per metric — the exact
     shape of the reference's published results figures
     (/root/reference/results/*_combined_metrics_large_font.png: grouped
     boxes per SNR bucket, one box per system).
 
-    systems: ordered {system name -> per-utterance scores}; put the
-    unprocessed-noisy baseline FIRST — it is drawn gray + hatched so the
-    baseline reads without color. Colors are assigned by position from
-    a fixed colorblind-validated list (max 3 non-baseline systems).
+    systems: ordered {system name -> per-utterance scores}. `baseline`
+    names the unprocessed-input system (if present): it is drawn gray +
+    hatched so the baseline reads without color — styling follows the
+    NAME, never the position. Other systems take a fixed colorblind-
+    validated color list by position (max 3 of them).
     """
     import matplotlib
 
@@ -122,11 +124,14 @@ def plot_bucket_boxes(
     from matplotlib.patches import Patch
 
     names = list(systems)
-    if len(names) > 1 + len(_SERIES_COLORS):
+    has_base = baseline in names
+    if len(names) - int(has_base) > len(_SERIES_COLORS):
         raise ValueError(
-            f"at most {1 + len(_SERIES_COLORS)} systems per figure "
-            "(colorblind-safe palette cap) — facet instead")
-    colors = [_BASELINE_COLOR] + list(_SERIES_COLORS)
+            f"at most {len(_SERIES_COLORS)} non-baseline systems per "
+            "figure (colorblind-safe palette cap) — facet instead")
+    colors, series_it = {}, iter(_SERIES_COLORS)
+    for n in names:
+        colors[n] = _BASELINE_COLOR if n == baseline else next(series_it)
 
     buckets = [b for b in (bucket_order or [])
                if any(bucket_of.get(n) == b
@@ -155,19 +160,20 @@ def plot_bucket_boxes(
                         bi + (si - (n_sys - 1) / 2) * box_w)
             if not data:
                 continue
+            c = colors[name]
             bp = ax.boxplot(
                 data, positions=positions, widths=box_w * 0.85,
                 patch_artist=True, medianprops={"color": ink,
                                                 "linewidth": 1.4},
-                whiskerprops={"color": colors[si], "linewidth": 1.2},
-                capprops={"color": colors[si], "linewidth": 1.2},
+                whiskerprops={"color": c, "linewidth": 1.2},
+                capprops={"color": c, "linewidth": 1.2},
                 flierprops={"marker": ".", "markersize": 4,
-                            "markerfacecolor": colors[si],
+                            "markerfacecolor": c,
                             "markeredgecolor": "none"})
             for box in bp["boxes"]:
-                box.set(facecolor=colors[si], alpha=0.55,
-                        edgecolor=colors[si], linewidth=1.2,
-                        hatch="///" if si == 0 else None)
+                box.set(facecolor=c, alpha=0.55, edgecolor=c,
+                        linewidth=1.2,
+                        hatch="///" if name == baseline else None)
         ax.set_xticks(range(len(buckets)))
         ax.set_xticklabels(buckets, color=ink)
         ax.set_xlabel("SNR bucket (dB)", color=muted)
@@ -179,10 +185,10 @@ def plot_bucket_boxes(
         for spine in ("left", "bottom"):
             ax.spines[spine].set_color(muted)
         ax.tick_params(colors=muted)
-    handles = [Patch(facecolor=colors[i], alpha=0.55,
-                     edgecolor=colors[i],
-                     hatch="///" if i == 0 else None, label=n)
-               for i, n in enumerate(names)]
+    handles = [Patch(facecolor=colors[n], alpha=0.55,
+                     edgecolor=colors[n],
+                     hatch="///" if n == baseline else None, label=n)
+               for n in names]
     fig.legend(handles=handles, loc="upper center",
                ncol=min(n_sys, 4), frameon=False,
                bbox_to_anchor=(0.5, 1.0 if not title else 0.96))

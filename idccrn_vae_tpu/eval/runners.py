@@ -47,15 +47,34 @@ def _attach_bucket_report(result, out_dir, bucket_of, bucket_order,
     """Per-SNR-bucket median table (eval/report.py — the reference's
     published report format) appended to the result + written to
     <out_dir>/bucket_report.json. Deltas appear when the result carries
-    noisy per-utterance scores; otherwise rows are enhanced-only."""
+    noisy per-utterance scores; otherwise rows are enhanced-only.
+
+    Score keys may be utt_names-DISAMBIGUATED ('parent__name.wav' /
+    'name__2.wav') while corpus metas key bare basenames — resolved
+    here so the report doesn't silently collapse to '(unbucketed)'."""
     from idccrn_vae_tpu.eval.report import (
         bucketed_median_report,
         format_bucket_table,
     )
 
+    def lookup(name):
+        if name in bucket_of:
+            return bucket_of[name]
+        cand = name.split("__", 1)[-1]  # strip parent-dir prefix
+        if cand in bucket_of:
+            return bucket_of[cand]
+        stem, ext = os.path.splitext(cand)  # strip __N dup suffix
+        return bucket_of.get(stem.rsplit("__", 1)[0] + ext)
+
+    resolved = {n: b for n in result["per_utterance"]
+                if (b := lookup(n)) is not None}
+    if bucket_of and not resolved:
+        logger.warning(
+            "no utterance matched the corpus meta's bucket keys — "
+            "bucket report will be '(unbucketed)' only")
     rep = bucketed_median_report(
         result["per_utterance"], result.get("noisy_per_utterance", {}),
-        bucket_of, bucket_order)
+        resolved, bucket_order)
     result["per_snr_bucket"] = rep
     logger.info("== per-SNR-bucket medians ==\n%s",
                 format_bucket_table(rep))

@@ -41,6 +41,27 @@ def test_forced_outage_emits_parseable_failure_line():
     assert r.stderr.count("probe") >= 2
 
 
+def test_midrun_hang_is_killed_and_reported():
+    """A tunnel dropping MID-measurement hangs the device call; the
+    watchdog must kill the measure subprocess and still emit one
+    parseable failure line (exit 0)."""
+    env = dict(os.environ,
+               IDCCRN_BENCH_PLATFORM="cpu",   # probe passes instantly
+               IDCCRN_BENCH_FAKE_HANG="1",    # measure never returns
+               BENCH_MEASURE_TIMEOUT_S="2",
+               BENCH_RETRY_WINDOW_S="1",
+               BENCH_PROBE_INTERVAL_S="0.2")
+    r = subprocess.run([sys.executable, BENCH], env=env, timeout=300,
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    lines = [ln for ln in r.stdout.splitlines() if ln.strip()]
+    assert len(lines) == 1, r.stdout
+    parsed = json.loads(lines[0])
+    assert parsed["value"] is None
+    assert parsed["error"] == "measurement_failed"
+    assert "hang" in parsed.get("detail", "")
+
+
 def test_probe_succeeds_on_cpu(monkeypatch):
     """The liveness probe itself is sound: forcing the CPU platform via
     the override the probe honors, one probe round-trips OK."""

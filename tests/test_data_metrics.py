@@ -1,5 +1,6 @@
 """Data pipeline + metric sanity tests."""
 
+import json
 import os
 
 import numpy as np
@@ -332,6 +333,36 @@ def test_index_cache_routed_out_of_cwd(wav_dir, tmp_path, monkeypatch):
                legacy_cache_paths=(legacy,))
     assert os.path.exists(primary)
     assert got2[0][2] - got2[0][1] == 4000
+
+
+def test_index_cache_corrupt_file_rebuilds(wav_dir, tmp_path):
+    """A truncated/corrupt cache (killed writer) must rebuild, not crash
+    every subsequent launch; the rewrite is atomic (no .tmp left)."""
+    files = sorted(str(wav_dir / f) for f in os.listdir(wav_dir)
+                   if f.endswith(".wav"))
+    cache = str(tmp_path / "idx.json")
+    with open(cache, "w") as f:
+        f.write('{"key": {"trunc')  # half-written JSON
+    idx = build_segment_index(files, 81, 100, FS, trim=False,
+                              shuffle=False, cache_path=cache,
+                              use_cache=True)
+    assert idx
+    with open(cache) as f:
+        assert json.load(f)["index"]  # repaired in place
+    assert not [f for f in os.listdir(tmp_path) if ".tmp." in f]
+
+
+def test_index_cache_path_for_txt_filelist(tmp_path, monkeypatch):
+    """A .txt file-list corpus caches BESIDE the list file (the corpus
+    'dir' is a file — nesting under it would fail every write)."""
+    from idccrn_vae_tpu.cli.common import _index_cache_path
+
+    monkeypatch.delenv("IDCCRN_CACHE_DIR", raising=False)
+    lst = tmp_path / "corpus" / "list.txt"
+    lst.parent.mkdir()
+    lst.write_text("")
+    assert _index_cache_path(str(lst), "ds", "train") == str(
+        tmp_path / "corpus" / "ds_train.json")
 
 
 def test_index_cache_write_failure_is_nonfatal(wav_dir):

@@ -67,6 +67,11 @@ def test_noise_kinds(kind):
         assert ratio < 4.0
 
 
+def test_active_rms_short_input():
+    x = np.ones(40, np.float32) * 0.1  # shorter than one 10 ms frame
+    assert active_rms(x) == pytest.approx(0.1, rel=1e-4)
+
+
 @pytest.mark.parametrize("snr", [0.0, 7.5, 18.0])
 def test_mix_at_snr_is_exact_on_active_level(snr):
     rng = np.random.default_rng(11)
@@ -167,10 +172,14 @@ def test_plot_bucket_boxes(tmp_path):
 
     out = str(tmp_path / "boxes.png")
     plot_bucket_boxes({"Noisy": mk(2), "CF": mk(7), "ADV": mk(8)},
-                      bucket_of, out, bucket_order=buckets)
+                      bucket_of, out, bucket_order=buckets,
+                      baseline="Noisy")
     assert os.path.getsize(out) > 10_000
+    # without a baseline, 3 systems still fit the palette; 4 don't
+    plot_bucket_boxes({"a": mk(1), "b": mk(2), "c": mk(3)}, bucket_of,
+                      str(tmp_path / "nb.png"))
     with pytest.raises(ValueError, match="facet"):
-        plot_bucket_boxes({c: mk(1) for c in "abcde"}, bucket_of,
+        plot_bucket_boxes({c: mk(1) for c in "abcd"}, bucket_of,
                           str(tmp_path / "x.png"))
 
 
@@ -201,3 +210,15 @@ def test_cli_bucket_plumbing(tmp_path):
     assert result["per_snr_bucket"]["[5,10)"]["sisdr"]["delta"] == 5.0
     with open(os.path.join(root, "bucket_report.json")) as f:
         assert json.load(f) == result["per_snr_bucket"]
+
+    # utt_names-disambiguated score keys ('spk__name.wav') still
+    # resolve against the meta's bare basenames
+    result2 = {
+        "per_utterance": {f"spk__{n}": {"sisdr": 9.0} for n in bucket_of},
+        "noisy_per_utterance": {f"spk__{n}": {"sisdr": 4.0}
+                                for n in bucket_of},
+    }
+    _attach_bucket_report(result2, root, bucket_of, order,
+                          logging.getLogger("test"))
+    assert list(result2["per_snr_bucket"]) == order
+    assert "(unbucketed)" not in result2["per_snr_bucket"]

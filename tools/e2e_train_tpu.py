@@ -56,17 +56,14 @@ def make_corpus(root):
 
 
 def load_bucket_map(root, split="val"):
-    """fileid wav name -> SNR bucket label, from corpus_meta.json."""
+    """fileid wav name -> SNR bucket label, from corpus_meta.json
+    (missing file -> empty; parsing = cli.common.bucket_map_from_meta)."""
+    from idccrn_vae_tpu.cli.common import bucket_map_from_meta
+
     path = os.path.join(root, "corpus_meta.json")
     if not os.path.exists(path):
         return {}, []
-    with open(path) as f:
-        meta = json.load(f)
-    prefix = f"{split}/"
-    bucket_of = {k[len(prefix):]: v["bucket"]
-                 for k, v in meta["files"].items()
-                 if k.startswith(prefix)}
-    return bucket_of, meta.get("buckets", [])
+    return bucket_map_from_meta(path, split)
 
 
 def write_ini(root, dirs, name, model_name, batch_size, epochs, extra=""):
@@ -440,7 +437,8 @@ def main():
             plot_bucket_boxes(
                 systems, bucket_of, png, bucket_order=order,
                 title="Held-out enhancement by input SNR "
-                      "(synthetic speech-like corpus)")
+                      "(synthetic speech-like corpus)",
+                baseline="Noisy")
             record("figures", time.time() - t0,
                    extra={"figure": png, "systems": list(systems)})
             print(f"figure: {png}")

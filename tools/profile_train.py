@@ -93,11 +93,11 @@ def main():
     jax.config.update("jax_compilation_cache_dir",
                       os.environ.get("JAX_COMPILATION_CACHE_DIR",
                                      "/root/.cache/jax_profile"))
-    global L
+    global L, SECONDS
     tiny = os.environ.get("PROFILE_TRAIN_TINY") == "1"
     if tiny:  # CPU smoke mode: exercises every program, numbers moot
         jax.config.update("jax_platforms", "cpu")
-        B, STEPS, L = 8, 2, FS  # 1 s utterances keep the smoke short
+        B, STEPS, L, SECONDS = 8, 2, FS, 1.0  # 1 s utterances
     print(f"devices: {jax.devices()}", file=sys.stderr)
     cfg = (DccrnConfig(causal=True, zdim=4, num_samples=NS,
                        encoder_channels=(1, 2, 2, 4, 4, 4, 4),
@@ -134,9 +134,9 @@ def main():
         return sum(jnp.sum(x.astype(jnp.float32) ** 2)
                    for x in jax.tree_util.tree_leaves(g))
 
-    report = {"geometry": {"B": B, "num_samples": NS, "zdim": 128,
-                           "T": 481, "compute": "bf16", "fs": FS,
-                           "seconds": SECONDS},
+    report = {"geometry": {"B": B, "num_samples": NS, "zdim": cfg.zdim,
+                           "T": L // cfg.stft.hop + 1, "compute": "bf16",
+                           "fs": FS, "seconds": SECONDS, "tiny": tiny},
               "peak_bf16_tflops": PEAK_BF16 / 1e12,
               "steps_timed": STEPS}
 
