@@ -160,17 +160,20 @@ def main():
     stages = set(args.stages.split(","))
     sc = args.epochs_scale
     report_path = args.out
-    report = {"geometry": {"zdim": 128, "encoder_dim_start": 32,
-                           "sequence_len": 481, "causal": True,
-                           "compute": "bf16", "fs": FS,
-                           "train_utts": N_TRAIN, "val_utts": N_VAL},
-              "stages": {}}
+    geometry = {"zdim": 128, "encoder_dim_start": 32,
+                "sequence_len": 481, "causal": True,
+                "compute": "bf16", "fs": FS,
+                "train_utts": N_TRAIN, "val_utts": N_VAL,
+                "corpus": "data/synth.py speech-like surrogate, "
+                          "DNS3-style SNR buckets"}
+    report = {"geometry": geometry, "stages": {}}
     if os.path.exists(report_path):
         with open(report_path) as f:
             try:
                 report = json.load(f)
             except Exception:
                 pass
+        report["geometry"] = geometry  # never keep a stale geometry
 
     def record(stage, wall, model_dir=None, extra=None):
         entry = {"wall_s": round(wall, 1)}
