@@ -400,7 +400,9 @@ def main():
                        ("enhanced_p2", os.path.join(root, "eval_p2",
                                                     "enhanced")),
                        ("enhanced_p2adv", os.path.join(root, "eval_p2adv",
-                                                       "enhanced"))):
+                                                       "enhanced")),
+                       ("enhanced_sup", os.path.join(root, "eval_sup",
+                                                     "enhanced"))):
             if not os.path.isdir(d):
                 continue
             wavs = sorted(f for f in os.listdir(d) if f.endswith(".wav"))
@@ -408,7 +410,7 @@ def main():
             entry[tag] = {k: round(float(np.mean([r[k] for r in rows])), 4)
                           for k in ("OVRL", "SIG", "BAK", "P808_MOS")}
             print(f"  {tag}: {entry[tag]}", flush=True)
-        for tag in ("enhanced_p2", "enhanced_p2adv"):
+        for tag in ("enhanced_p2", "enhanced_p2adv", "enhanced_sup"):
             if tag in entry and "noisy" in entry:
                 entry[f"delta_{tag}"] = {
                     k: round(entry[tag][k] - entry["noisy"][k], 4)
