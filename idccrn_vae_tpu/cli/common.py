@@ -215,6 +215,12 @@ def add_common_train_flags(p: argparse.ArgumentParser):
                    help="data-parallel mesh size (default: all devices)")
     p.add_argument("--seed", type=int, default=123,
                    help="init/sampling seed (the reference pins 123)")
+    p.add_argument("--donate", action="store_true",
+                   help="donate the train state's buffers to XLA each "
+                        "step — frees the old state's HBM for in-place "
+                        "reuse; raises the max batch on one chip "
+                        "(TRAIN_BENCH.json: pretrain B=20 fits only "
+                        "donated), time-neutral at smaller batches")
     return p
 
 

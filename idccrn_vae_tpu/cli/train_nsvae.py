@@ -97,6 +97,7 @@ def main(argv=None):
         pre_cfg, noisy_cfg, loss,
         learning_rate=float(ini.get("Training", "lr")),
         trainable=trainable, mesh=mesh, seed=args.seed,
+        donate=args.donate,
     )
 
     from idccrn_vae_tpu.cli.common import load_pretrained_variables

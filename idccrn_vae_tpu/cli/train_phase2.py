@@ -82,6 +82,7 @@ def main(argv=None):
         learning_rate=float(ini.get("Training", "lr")),
         adversarial=args.adversarial, dis_lr=args.dlr, d_step=args.d_step,
         decode_update=args.decode_update, mesh=mesh, seed=args.seed,
+        donate=args.donate,
     )
 
     from idccrn_vae_tpu.cli.common import load_pretrained_variables

@@ -36,6 +36,7 @@ def main(argv=None):
     trainer = SupervisedTrainer(
         cfg, loss, learning_rate=float(ini.get("Training", "lr")),
         datanorm=datanorm, mesh=mesh, seed=args.seed,
+        donate=args.donate,
     )
     train_loader, val_loader, n_train, n_val = loaders_from_ini(
         ini, "pair", args.first_use_dataset)

@@ -62,6 +62,7 @@ def main(argv=None):
     trainer = PretrainTrainer(
         cfg, loss, learning_rate=float(ini.get("Training", "lr")),
         datanorm=datanorm, mesh=mesh, seed=args.seed,
+        donate=args.donate,
     )
 
     train_loader, val_loader, n_train, n_val = loaders_from_ini(

@@ -48,6 +48,7 @@ class NsvaeTrainer:
         weight_decay: float = 1e-3,
         mesh=None,
         seed: int = 123,
+        donate: bool = False,
     ):
         self.pre_cfg = pre_cfg
         self.noisy_cfg = noisy_cfg
@@ -61,7 +62,13 @@ class NsvaeTrainer:
         self.tx = make_adam(learning_rate, weight_decay)
         self.sched = PlateauScheduler(0.5, 3)
         self.seed = seed
-        self._jit_step = jax.jit(self._step, static_argnames=("train",))
+        # donated train program reuses the old state's HBM (capability
+        # knob, TRAIN_BENCH.json); eval stays non-donated — it returns
+        # the input state untouched and callers keep using it
+        self._jit_train = jax.jit(self._step, static_argnames=("train",),
+                                  donate_argnums=(0,) if donate else ())
+        self._jit_step = (jax.jit(self._step, static_argnames=("train",))
+                          if donate else self._jit_train)
 
     def init_state(self, rng=None, pretrained: Optional[Dict] = None):
         """pretrained: optional dict with 'clean_enc'/'noise_enc'
@@ -153,7 +160,7 @@ class NsvaeTrainer:
 
     def train_step(self, state, batch, rng, epoch: int):
         noisy, clean, noise = pad_and_shard(self.mesh, tuple(batch))
-        return self._jit_step(state, noisy, clean, noise, rng, train=True)
+        return self._jit_train(state, noisy, clean, noise, rng, train=True)
 
     def eval_step(self, state, batch, rng, epoch: int):
         noisy, clean, noise = pad_and_shard(self.mesh, tuple(batch))

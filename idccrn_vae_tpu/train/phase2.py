@@ -77,6 +77,7 @@ class Phase2Trainer:
         mesh=None,
         seed: int = 123,
         split_adv_step: Optional[bool] = None,
+        donate: bool = False,
     ):
         self.enc_cfg = enc_cfg
         self.dec_cfg = dec_cfg
@@ -106,8 +107,15 @@ class Phase2Trainer:
         self.seed = seed
         self._batch_counter = 0
         self._mask = None
-        self._jit_step = jax.jit(
-            self._step, static_argnames=("train", "update_d"))
+        # donated train programs reuse the old state's HBM (capability
+        # knob, TRAIN_BENCH.json); eval stays non-donated — it returns
+        # the input state untouched and callers keep using it
+        self._jit_train = jax.jit(
+            self._step, static_argnames=("train", "update_d"),
+            donate_argnums=(0,) if donate else ())
+        self._jit_step = (jax.jit(self._step,
+                                  static_argnames=("train", "update_d"))
+                          if donate else self._jit_train)
         # Adversarial D and G updates as TWO jitted programs instead of
         # one fused step (reference batch order: D first on this batch's
         # reconstructions, then G through the UPDATED discriminator —
@@ -122,7 +130,8 @@ class Phase2Trainer:
             split_adv_step = jax.default_backend() == "tpu"
         self.split_adv = bool(adversarial and split_adv_step)
         if adversarial:
-            self._jit_d = jax.jit(self._d_step)
+            self._jit_d = jax.jit(self._d_step,
+                                  donate_argnums=(0,) if donate else ())
 
     def init_state(self, rng=None, pretrained: Optional[dict] = None):
         rng = jax.random.PRNGKey(self.seed) if rng is None else rng
@@ -339,13 +348,13 @@ class Phase2Trainer:
             # The same rng makes both programs sample identical
             # reconstructions, like the reference's single shared tensor.
             state, d_lo = self._jit_d(state, noisy, clean, noise, rng)
-            new_state, metrics = self._jit_step(
+            new_state, metrics = self._jit_train(
                 state, noisy, clean, noise, rng, train=True, update_d=False)
             metrics = dict(metrics)
             metrics["dis"] = d_lo
             return new_state, metrics
-        return self._jit_step(state, noisy, clean, noise, rng, train=True,
-                              update_d=update_d)
+        return self._jit_train(state, noisy, clean, noise, rng, train=True,
+                               update_d=update_d)
 
     def eval_step(self, state, batch, rng, epoch: int):
         noisy, clean, noise = pad_and_shard(self.mesh, tuple(batch))

@@ -49,6 +49,7 @@ class PretrainTrainer:
         datanorm: Optional[Tuple[np.ndarray, np.ndarray]] = None,
         mesh=None,
         seed: int = 123,
+        donate: bool = False,
     ):
         self.cfg = cfg
         self.loss = loss
@@ -64,7 +65,15 @@ class PretrainTrainer:
         self.sched_en = PlateauScheduler(0.5, 3)
         self.sched_de = PlateauScheduler(0.5, 3)
         self.seed = seed
-        self._train_step = jax.jit(self._step, static_argnames=("train",))
+        # donate=True hands the old state's HBM to XLA for in-place
+        # reuse — time-neutral at the B=16 sweet spot but raises the
+        # batch-capability ceiling (B=20 fits only donated,
+        # TRAIN_BENCH.json). Eval keeps a NON-donated program: it
+        # returns the input state untouched and callers keep using it.
+        self._train_step = jax.jit(self._step, static_argnames=("train",),
+                                   donate_argnums=(0,) if donate else ())
+        self._eval_jit = (jax.jit(self._step, static_argnames=("train",))
+                          if donate else self._train_step)
 
     # -- state -------------------------------------------------------------
     def init_state(self, rng=None):
@@ -149,7 +158,7 @@ class PretrainTrainer:
     def eval_step(self, state, batch, rng, epoch: int):
         wav = pad_and_shard(self.mesh, batch)
         kl_w = jnp.asarray(self.loss.kl_weight_at(epoch), jnp.float32)
-        _, metrics = self._train_step(state, wav, rng, kl_w, train=False)
+        _, metrics = self._eval_jit(state, wav, rng, kl_w, train=False)
         return metrics
 
     # -- fit ---------------------------------------------------------------

@@ -42,6 +42,7 @@ class SupervisedTrainer:
         datanorm: Optional[Tuple[np.ndarray, np.ndarray]] = None,
         mesh=None,
         seed: int = 123,
+        donate: bool = False,
     ):
         self.cfg = cfg
         self.loss = loss
@@ -54,7 +55,12 @@ class SupervisedTrainer:
         self.tx = make_adam(learning_rate, weight_decay)
         self.sched = PlateauScheduler(0.5, 3)
         self.seed = seed
-        self._jit_step = jax.jit(self._step, static_argnames=("train",))
+        # donated train program reuses the old state's HBM (capability
+        # knob, TRAIN_BENCH.json); eval stays non-donated
+        self._jit_train = jax.jit(self._step, static_argnames=("train",),
+                                  donate_argnums=(0,) if donate else ())
+        self._jit_step = (jax.jit(self._step, static_argnames=("train",))
+                          if donate else self._jit_train)
 
     def init_state(self, rng=None):
         rng = jax.random.PRNGKey(self.seed) if rng is None else rng
@@ -93,7 +99,7 @@ class SupervisedTrainer:
 
     def train_step(self, state, batch, rng, epoch: int):
         noisy, clean = pad_and_shard(self.mesh, tuple(batch))
-        return self._jit_step(state, noisy, clean, train=True)
+        return self._jit_train(state, noisy, clean, train=True)
 
     def eval_step(self, state, batch, rng, epoch: int):
         noisy, clean = pad_and_shard(self.mesh, tuple(batch))

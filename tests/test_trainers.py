@@ -336,3 +336,42 @@ def test_phase2_split_adv_equals_fused():
                     jax.tree.leaves(s_s["models"])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("kind", ["pretrain", "phase2_adv_split"])
+def test_donate_matches_undonated(kind):
+    """donate=True (in-place HBM reuse, the TRAIN_BENCH capability knob)
+    is numerically a no-op: metrics match the undonated trainer step for
+    step, and an eval_step between train steps must NOT invalidate the
+    state (eval keeps a non-donated program)."""
+    def build(donate):
+        if kind == "pretrain":
+            tr = PretrainTrainer(TINY, _loss(), 3e-4, donate=donate)
+            batches = [( _wav(i),) for i in range(3)]
+        else:
+            enc_cfg = dataclasses.replace(TINY, latent_num=1)
+            dec_cfg = dataclasses.replace(TINY, latent_num=1,
+                                          skip_mode="runtime",
+                                          recon_type="mask")
+            tr = Phase2Trainer(enc_cfg, dec_cfg,
+                               TwoPhaseLoss((1.0, 1.0, 0.0), 1.0, 1),
+                               1e-3, adversarial=True, d_step=2,
+                               split_adv_step=True, donate=donate)
+            batches = [((_wav(i), _wav(i + 10), _wav(i + 20)),)
+                       for i in range(3)]
+        return tr, batches
+
+    runs = {}
+    for donate in (False, True):
+        tr, batches = build(donate)
+        state = tr.init_state()
+        ms = []
+        for i, (batch,) in enumerate(batches):
+            state, m = tr.train_step(state, batch, jax.random.PRNGKey(7),
+                                     epoch=0)
+            ms.append(float(m["total"]))
+            # interleaved eval must not kill the live state buffers
+            me = tr.eval_step(state, batch, jax.random.PRNGKey(8), epoch=0)
+            assert np.isfinite(me["total"])
+        runs[donate] = ms
+    np.testing.assert_allclose(runs[True], runs[False], rtol=1e-6)
