@@ -194,3 +194,30 @@ def test_supervised_mesh8_matches_mesh1():
     _assert_tree_close(s1a["model"]["params"], s1b["model"]["params"])
     _assert_tree_close(s1a["model"]["stats"], s1b["model"]["stats"],
                        atol=1e-5)
+
+
+def test_mesh8_donated_matches_undonated():
+    """Donation composes with the sharded SPMD step: donate=True on an
+    8-device mesh produces the same metrics trajectory, and interleaved
+    eval keeps the (sharded) state alive."""
+    from idccrn_vae_tpu.losses.vae_loss import kl_annealing_schedule
+
+    wav = (np.random.default_rng(3).standard_normal((8, 1600)) * 0.3
+           ).astype(np.float32)
+    rng = jax.random.PRNGKey(1)
+
+    runs = {}
+    for donate in (False, True):
+        loss = PretrainVaeLoss(kl_annealing_schedule(5), 0.01,
+                               num_samples=1)
+        tr = PretrainTrainer(TINY, loss, 1e-3, mesh=make_mesh(8),
+                             donate=donate)
+        state = tr.init_state()
+        ms = []
+        for i in range(2):
+            state, m = tr.train_step(state, wav, rng, 0)
+            ms.append(float(m["total"]))
+            me = tr.eval_step(state, wav, rng, 0)
+            assert np.isfinite(me["total"])
+        runs[donate] = ms
+    np.testing.assert_allclose(runs[True], runs[False], rtol=1e-6)
