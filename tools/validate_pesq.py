@@ -64,7 +64,11 @@ def wav_pairs(d):
             yield os.path.basename(c), read_wav(c)[0], read_wav(g)[0]
 
 
-def main():
+def main(argv=None):
+    """Returns the summary stats dict so the harness itself is testable
+    (tests/test_validate_pesq_tool.py runs it against a stubbed `pesq`
+    module — the real package is uninstallable in the build image)."""
+    argv = sys.argv[1:] if argv is None else argv
     try:
         from pesq import pesq as itu_pesq
     except ImportError:
@@ -74,7 +78,7 @@ def main():
     except ImportError:
         pystoi_fn = None
 
-    pairs = wav_pairs(sys.argv[1]) if len(sys.argv) > 1 else synthetic_pairs()
+    pairs = list(wav_pairs(argv[0]) if argv else synthetic_pairs())
     ours, theirs, rows = [], [], []
     if not pairs:
         raise SystemExit("no (clean, deg) pairs found — expected "
@@ -101,6 +105,10 @@ def main():
     a, b = np.polyfit(ours, theirs, 1)
     print(f"linear fit itu ~= {a:.4f}*native + {b:+.4f} "
           "(fold into eval/pesq_native.py if |delta| > 0.02)")
+    return {"n": len(rows),
+            "mean_abs_delta": float(np.abs(ours - theirs).mean()),
+            "max_abs_delta": float(np.abs(ours - theirs).max()),
+            "rank_corr": float(rank), "fit": (float(a), float(b))}
 
 
 if __name__ == "__main__":
