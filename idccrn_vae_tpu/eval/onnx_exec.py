@@ -15,16 +15,34 @@ of ONNX to execute those graphs natively:
 
 `InferenceSession` mirrors the two onnxruntime calls the scorer makes
 (`run(None, {name: array})`), so eval/dnsmos.py can use either backend
-interchangeably. Numerics are plain float32 numpy; the DNSMOS CNNs are
-tiny (<1.2 MB), so speed is irrelevant next to the enhancement model.
+interchangeably. Numerics are float32; Conv takes a torch (oneDNN) CPU
+fast path when torch imports (it is >95% of a DNSMOS window's cost —
+~3.5x over the numpy accumulated-GEMM form), with the numpy
+implementation kept as fallback and parity oracle
+(IDCCRN_ONNX_NUMPY=1 forces it).
 """
 
 from __future__ import annotations
 
+import os
 import struct
 from typing import Dict, List
 
 import numpy as np
+
+# Conv fast path: torch's oneDNN CPU conv is ~3.5x the accumulated-GEMM
+# numpy form on the DNSMOS 900x161 maps (0.22 s vs 0.77 s for the
+# 128->64 3x3 stage; channels_last another ~25%), and Conv is >95% of a
+# scoring window's cost. numpy stays as the always-available fallback
+# and the parity oracle (tests/test_dnsmos.py). IDCCRN_ONNX_NUMPY=1
+# forces the numpy path.
+try:
+    if os.environ.get("IDCCRN_ONNX_NUMPY"):
+        raise ImportError
+    import torch as _torch
+    import torch.nn.functional as _F
+except ImportError:  # pragma: no cover - torch is baked into this image
+    _torch = None
 
 # ---------------------------------------------------------------------------
 # protobuf wire-format parsing (ModelProto subset)
@@ -219,12 +237,50 @@ def parse_model(path: str):
 
 
 def _conv(x, w, b, attrs):
-    """Conv (group=1): NCHW x, OIHW w."""
+    """Conv (group=1): NCHW x, OIHW w. torch fast path, numpy fallback."""
+    if attrs.get("group", 1) != 1:  # pragma: no cover
+        raise NotImplementedError("grouped conv")
+    if _torch is not None:
+        return _conv_torch(x, w, b, attrs)
+    return _conv_numpy(x, w, b, attrs)
+
+
+def _conv_torch(x, w, b, attrs):
+    """oneDNN conv via torch.
+
+    Stays in the default contiguous (NCHW) layout: channels_last makes
+    conv2d itself ~25% faster on the DNSMOS maps but the per-call
+    layout round trip (`.to(channels_last)` + `.contiguous()`) costs
+    more than it saves when every node boundary is a numpy array
+    (measured 0.75 s vs 0.45 s per scoring window for the 9 convs)."""
+    n_sp = x.ndim - 2
+    strides = [int(s) for s in attrs.get("strides", [1] * n_sp)]
+    pads = [int(p) for p in attrs.get("pads", [0] * (2 * n_sp))]
+    dil = [int(d) for d in attrs.get("dilations", [1] * n_sp)]
+    xt = _torch.from_numpy(np.ascontiguousarray(x, np.float32))
+    wt = _torch.from_numpy(np.ascontiguousarray(w, np.float32))
+    bt = None if b is None else _torch.from_numpy(
+        np.ascontiguousarray(b, np.float32))
+    begin, end = pads[:n_sp], pads[n_sp:]
+    if begin != end:
+        # ONNX pads may be asymmetric; torch's padding arg is symmetric.
+        # F.pad takes (last-dim begin, last-dim end, ..., first spatial).
+        flat = []
+        for d in reversed(range(n_sp)):
+            flat += [begin[d], end[d]]
+        xt = _F.pad(xt, flat)
+        begin = [0] * n_sp
+    with _torch.no_grad():
+        conv = _F.conv1d if n_sp == 1 else _F.conv2d
+        out = conv(xt, wt, bt, stride=strides, padding=begin, dilation=dil)
+    return out.numpy()
+
+
+def _conv_numpy(x, w, b, attrs):
+    """Reference numpy Conv — fallback and parity oracle for _conv_torch."""
     strides = attrs.get("strides", [1] * (x.ndim - 2))
     pads = attrs.get("pads", [0] * (2 * (x.ndim - 2)))
     dil = attrs.get("dilations", [1] * (x.ndim - 2))
-    if attrs.get("group", 1) != 1:  # pragma: no cover
-        raise NotImplementedError("grouped conv")
     n_sp = x.ndim - 2
     pad_width = [(0, 0), (0, 0)] + [
         (pads[i], pads[i + n_sp]) for i in range(n_sp)]
@@ -261,6 +317,12 @@ def _maxpool(x, attrs):
     kh, kw = attrs["kernel_shape"]
     sh, sw = attrs.get("strides", attrs["kernel_shape"])
     pads = attrs.get("pads", [0, 0, 0, 0])
+    if _torch is not None and pads == [0, 0, 0, 0]:
+        with _torch.no_grad():
+            out = _F.max_pool2d(
+                _torch.from_numpy(np.ascontiguousarray(x, np.float32)),
+                kernel_size=(int(kh), int(kw)), stride=(int(sh), int(sw)))
+        return out.numpy()
     x = np.pad(x, [(0, 0), (0, 0), (pads[0], pads[2]), (pads[1], pads[3])],
                constant_values=-np.inf)
     n, c, h, w = x.shape

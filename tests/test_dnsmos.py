@@ -81,6 +81,34 @@ def test_onnx_exec_op_primitives():
     np.testing.assert_array_equal(sl, x[:, :, 1::2])
 
 
+def test_conv_torch_fast_path_matches_numpy_oracle():
+    """The torch (oneDNN) Conv fast path must agree with the numpy
+    reference implementation across the attribute space the ONNX models
+    can use: strides, dilations, ASYMMETRIC pads, bias/no-bias, 1-D."""
+    from idccrn_vae_tpu.eval.onnx_exec import _conv_numpy, _conv_torch, _torch
+
+    if _torch is None:
+        pytest.skip("torch unavailable")
+    rng = np.random.default_rng(7)
+    cases = [
+        # (x_shape, w_shape, attrs)
+        ((2, 3, 9, 8), (4, 3, 3, 3), {"pads": [1, 1, 1, 1]}),
+        ((1, 2, 10, 7), (3, 2, 3, 2), {"strides": [2, 3],
+                                       "pads": [0, 1, 2, 0]}),
+        ((1, 4, 12, 6), (2, 4, 3, 3), {"dilations": [2, 1],
+                                       "pads": [2, 1, 2, 1]}),
+        ((2, 3, 20), (5, 3, 4), {"strides": [2], "pads": [1, 2]}),  # 1-D
+    ]
+    for xs, ws, attrs in cases:
+        x = rng.standard_normal(xs).astype(np.float32)
+        w = rng.standard_normal(ws).astype(np.float32)
+        for b in (None, rng.standard_normal(ws[0]).astype(np.float32)):
+            ref = _conv_numpy(x, w, b, attrs)
+            got = _conv_torch(x, w, b, attrs)
+            assert got.shape == ref.shape and got.dtype == np.float32
+            np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
 def test_dnsmos_end_to_end_native():
     """Full DNSMOS scoring in THIS image (no onnxruntime): bundled
     models through the native executor, melspec features, polynomial

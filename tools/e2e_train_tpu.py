@@ -389,13 +389,15 @@ def main():
 
         primary, p808 = default_model_paths(False)
         scorer = ComputeScore(primary, p808)
-        # The native numpy ONNX executor runs ~35 s/utt on this 1-CPU
-        # host; score a deterministic 8-file subset per condition (the
-        # SAME fileids in every dir, so deltas are paired).
-        n_files = 8
+        # The executor's torch (oneDNN) Conv fast path runs ~0.7 s/utt
+        # warm on this 1-CPU host (was ~35 s/utt numpy-only, which is
+        # why older reports subsampled to 8); score the WHOLE val set
+        # per condition (same fileids in every dir, so deltas stay
+        # paired).
+        n_files = 10_000
         print("== DNSMOS scoring (native ONNX executor) ==", flush=True)
         t0 = time.time()
-        entry = {"files_per_dir": n_files}
+        entry = {}
         for tag, d in (("noisy", dirs["noisy_val"]),
                        ("enhanced_p2", os.path.join(root, "eval_p2",
                                                     "enhanced")),
@@ -407,6 +409,7 @@ def main():
                 continue
             wavs = sorted(f for f in os.listdir(d) if f.endswith(".wav"))
             rows = [scorer(os.path.join(d, f)) for f in wavs[:n_files]]
+            entry.setdefault("files_per_dir", len(rows))
             entry[tag] = {k: round(float(np.mean([r[k] for r in rows])), 4)
                           for k in ("OVRL", "SIG", "BAK", "P808_MOS")}
             print(f"  {tag}: {entry[tag]}", flush=True)
