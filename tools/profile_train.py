@@ -170,9 +170,12 @@ def main():
                      indent=1), flush=True)
 
     # -- component split: encoder vs decoder, fwd and fwd+bwd ------------
-    enc_out, _ = tr.encoder.apply(
-        {"params": params["enc"], "stats": stats["enc"]}, wav,
-        train=True, rng=rng)
+    # (jit even the one-shot applies: EAGER complex ops — istft's
+    # spec_r + 1j*spec_i — hit UNIMPLEMENTED on the axon TPU backend)
+    enc_out, _ = jax.jit(
+        lambda ep, w, r: tr.encoder.apply(
+            {"params": ep, "stats": stats["enc"]}, w, train=True, rng=r)
+    )(params["enc"], wav, rng)
     stft_x, z, skips = enc_out.stft_x, enc_out.z, enc_out.skips
 
     def enc_scalar(ep, w, r):
@@ -189,31 +192,43 @@ def main():
         return (jnp.sum(recon.astype(jnp.float32) ** 2)
                 + jnp.sum(predict.astype(jnp.float32) ** 2))
 
+    # grad'd programs take the activations as ARGUMENTS, never closure
+    # captures: a closed-over device array is baked into the HLO as a
+    # literal constant, and the decoder's (stft_x, z, skips) set is tens
+    # of MB — enough to blow the axon tunnel's remote-compile request
+    # body limit (HTTP 413, observed on-chip 2026-08-18)
     comp = {}
-    comp["encoder_fwd_ms"] = round(time_program(
-        jax.jit(enc_scalar), params["enc"], wav, rng) * 1e3, 1)
-    comp["encoder_fwdbwd_ms"] = round(time_program(
-        jax.jit(jax.grad(lambda ep: enc_scalar(ep, wav, rng))),
-        params["enc"], steps=STEPS) * 1e3, 1)
-    comp["decoder_fwd_ms"] = round(time_program(
-        jax.jit(dec_scalar), params["dec"], stft_x, z, skips) * 1e3, 1)
-    comp["decoder_fwdbwd_ms"] = round(time_program(
-        jax.jit(jax.grad(lambda dp: dec_scalar(dp, stft_x, z, skips))),
-        params["dec"], steps=STEPS) * 1e3, 1)
 
-    # loss-only: everything downstream of the model outputs
-    def loss_scalar(recon, predict, wav):
+    def record(key, t):
+        comp[key] = round(t * 1e3, 1)
+        print(f"{key}: {comp[key]} ms", flush=True)
+
+    record("encoder_fwd_ms", time_program(
+        jax.jit(enc_scalar), params["enc"], wav, rng))
+    record("encoder_fwdbwd_ms", time_program(
+        jax.jit(jax.grad(enc_scalar, argnums=0)),
+        params["enc"], wav, rng, steps=STEPS))
+    record("decoder_fwd_ms", time_program(
+        jax.jit(dec_scalar), params["dec"], stft_x, z, skips))
+    record("decoder_fwdbwd_ms", time_program(
+        jax.jit(jax.grad(dec_scalar, argnums=0)),
+        params["dec"], stft_x, z, skips, steps=STEPS))
+
+    # loss-only: everything downstream of the model outputs (again all
+    # activations as arguments — see the HTTP 413 note above)
+    def loss_scalar(recon, predict, wav, sx, gauss, zz, kw):
         wav_t = tile_samples(wav, NS)[:, : recon.shape[1]]
-        stft_t = tile_samples(stft_x, NS)
-        lo = tr.loss(wav_t, recon, stft_t, predict, enc_out.gauss,
-                     z, kl_w)
+        stft_t = tile_samples(sx, NS)
+        lo = tr.loss(wav_t, recon, stft_t, predict, gauss, zz, kw)
         return lo.total
 
-    (recon0, predict0), _ = tr.decoder.apply(
-        {"params": params["dec"], "stats": stats["dec"]}, stft_x, z,
-        skips, train=True)
+    (recon0, predict0), _ = jax.jit(
+        lambda dp, sx, zz, sk: tr.decoder.apply(
+            {"params": dp, "stats": stats["dec"]}, sx, zz, sk, train=True)
+    )(params["dec"], stft_x, z, skips)
     comp["loss_fwd_ms"] = round(time_program(
-        jax.jit(loss_scalar), recon0, predict0, wav) * 1e3, 2)
+        jax.jit(loss_scalar), recon0, predict0, wav, stft_x,
+        enc_out.gauss, z, kl_w) * 1e3, 2)
     report["components"] = comp
     print(json.dumps(comp, indent=1), flush=True)
 
