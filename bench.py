@@ -133,8 +133,11 @@ def measure() -> float:
     from idccrn_vae_tpu.models.nsvae import NsvaeEncoder, split_noisy_skips
     from idccrn_vae_tpu.models.vae import VaeDecoder
 
+    # IDCCRN_BENCH_COMPUTE=int8 measures the quantized serving mode
+    # (serving-only int8 MXU convs, ops/conv.py _quantized_conv)
     cfg = DccrnConfig(causal=True, zdim=128, num_samples=1, latent_num=1,
-                      compute="bf16")
+                      compute=os.environ.get("IDCCRN_BENCH_COMPUTE",
+                                             "bf16"))
     enc = NsvaeEncoder(cfg)
     dec = VaeDecoder(cfg)
     enc_vars = enc.init(jax.random.PRNGKey(0))

@@ -49,7 +49,14 @@ def build_parser():
     p.add_argument("--n_devices", type=int, default=None,
                    help="shard eval batches over a data mesh")
     p.add_argument("--compute", type=str, default="bf16",
-                   choices=["f32", "bf16"])
+                   choices=["f32", "bf16", "int8"],
+                   help="int8 = serving-only quantized convs (dynamic "
+                        "per-tensor activation + per-channel weight "
+                        "scales, int8 MXU). MEASURED AT PARITY with "
+                        "bf16 end-to-end on v5e (INT8_PROBE.json: the "
+                        "decoder's dilated convs gain nothing and the "
+                        "quant passes offset the encoder's 1.63x conv "
+                        "win) — kept for hardware where int8 pays")
     p.add_argument("--sample_chunks", type=int, default=1,
                    help="decode num_samples in this many sequential "
                         "chunks — same outputs, peak decoder memory "

@@ -68,10 +68,33 @@ class DccrnConfig:
     skip_prob: int = 1
     recon_type: Literal["mask", "real_imag"] = "real_imag"
     resynthesis: bool = False
-    # 'f32' | 'bf16': dtype for conv/LSTM/dense compute (MXU path).
-    # Parameters, BN statistics, STFT/ISTFT, and the latent head math
-    # stay fp32; bf16 roughly doubles MXU throughput on v5e.
-    compute: Literal["f32", "bf16"] = "f32"
+    # 'f32' | 'bf16' | 'int8': dtype for conv/LSTM/dense compute (MXU
+    # path). Parameters, BN statistics, STFT/ISTFT, and the latent head
+    # math stay fp32; bf16 roughly doubles MXU throughput on v5e.
+    # 'int8' is a SERVING-ONLY mode (trainers reject it — rounding has
+    # no useful gradient): convs with min(Cin, Cout) >= quant_min_ch
+    # run as int8 MXU ops (dynamic per-tensor activation scale,
+    # per-output-channel weight scales, int32 accumulation); everything
+    # else runs exactly as 'bf16'. MEASURED VERDICT (v5e, bench.py +
+    # INT8_PROBE.json, r4): end-to-end PARITY at best — see quant_scope
+    # below. Kept (small, tested, numerically pinned) for hardware
+    # generations where the int8 path pays.
+    compute: Literal["f32", "bf16", "int8"] = "f32"
+    # int8 mode: stages narrower than this on either side keep bf16
+    # (the first encoder conv sees the raw un-normalized spectrum whose
+    # dynamic range a per-tensor int8 scale cannot cover, and edge
+    # stages carry negligible FLOPs anyway).
+    quant_min_ch: int = 16
+    # int8 mode scope. MEASURED (INT8_PROBE.json + bench.py, v5e): int8
+    # wins 1.63x on REGULAR convs (encoder) but only reaches PARITY on
+    # the lhs-dilated transposed convs (decoder) — XLA's bf16 dilated
+    # lowering already skips the inserted zeros (162 useful-TOPS, near
+    # bf16 peak), and its int8 lowering has no faster path — while the
+    # dynamic quantize/dequant adds ~2 ms of HBM passes per stage.
+    # End-to-end RTFx: bf16 2006x, int8 scope='enc' 1996x (parity),
+    # scope='all' 1858x (-7%). 'enc' stays the default scope so the
+    # mode is never worse than parity where int8 hardware pays more.
+    quant_scope: Literal["enc", "all"] = "enc"
     # rematerialize each conv/deconv stage in the backward pass
     # (jax.checkpoint): trades ~1 extra forward of FLOPs for dropping
     # the stage activations from HBM — raises the trainable batch size.
@@ -79,9 +102,26 @@ class DccrnConfig:
 
     @property
     def compute_dtype(self):
+        """Operand dtype for non-quantized MXU ops (LSTM/dense, and the
+        convs int8 mode leaves un-quantized): int8 mode rides bf16."""
         import jax.numpy as jnp
 
-        return jnp.bfloat16 if self.compute == "bf16" else jnp.float32
+        return (jnp.bfloat16 if self.compute in ("bf16", "int8")
+                else jnp.float32)
+
+    @property
+    def conv_quant(self) -> bool:
+        return self.compute == "int8"
+
+    def reject_int8_training(self, who: str) -> None:
+        """Trainers call this: int8 is serving-only (activation/weight
+        rounding has no useful gradient, and a train-mode forward would
+        silently fall back to bf16 while validation quantized)."""
+        if self.compute == "int8":
+            raise ValueError(
+                f"{who}: compute='int8' is a serving-only mode — train "
+                "with 'bf16' (or 'f32') and pass --compute int8 at "
+                "evaluation/serving time instead.")
 
     @property
     def num_stages(self) -> int:

@@ -73,6 +73,8 @@ def apply_encoder_stack(params, stats, x, cfg: DccrnConfig, train: bool,
         x = complex_conv2d(
             x, p["conv"], cfg.stride, (cfg.freq_pad, time_pad),
             causal=cfg.causal, compute_dtype=cdt,
+            quant=cfg.conv_quant and not train,
+            quant_min_ch=cfg.quant_min_ch,
         )
         x, s2 = complex_batch_norm(x, p["bn"], s, train=train,
                                    dis_mode=dis_mode)
@@ -147,6 +149,9 @@ def apply_decoder_stack(
         return complex_conv_transpose2d(
             x, par, cfg.stride, (cfg.freq_pad, 0), causal=cfg.causal,
             compute_dtype=cfg.compute_dtype,
+            quant=(cfg.conv_quant and not train
+                   and cfg.quant_scope == "all"),
+            quant_min_ch=cfg.quant_min_ch,
         )
 
     def _split_params(p, cx):

@@ -66,6 +66,43 @@ def init_complex_conv_transpose2d(
     }
 
 
+def _quantized_conv(x, kernel, stride, pad_spec, lhs_dilation=None):
+    """int8 MXU convolution with dynamic symmetric quantization.
+
+    Serving-only (round() has no useful gradient). Activations get ONE
+    per-tensor scale (dynamic abs-max — the inputs are post-BN/PReLU
+    feature maps, well conditioned); the block kernel gets per-OUTPUT-
+    channel scales so each complex component's weight range is covered
+    independently. Accumulation is int32 (max K here is 2Cin*kh*kw =
+    5120 -> |acc| <= 127^2*5120 ~ 8.3e7 << 2^31). Dequantized output is
+    bf16 so inter-stage HBM traffic matches the bf16 path. Measured on
+    v5e: 1.63x over bf16 at the decoder conv shape (INT8_PROBE.json).
+    """
+    xf = x.astype(jnp.float32)
+    sx = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-12) / 127.0
+    xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+    kf = kernel.astype(jnp.float32)
+    sw = jnp.maximum(jnp.max(jnp.abs(kf), axis=(0, 1, 2)), 1e-12) / 127.0
+    kq = jnp.clip(jnp.round(kf / sw), -127, 127).astype(jnp.int8)
+    y = lax.conv_general_dilated(
+        xq,
+        kq,
+        window_strides=tuple(stride),
+        padding=pad_spec,
+        lhs_dilation=lhs_dilation,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    return (y.astype(jnp.float32) * (sx * sw)).astype(jnp.bfloat16)
+
+
+def _quantize_stage(quant: bool, quant_min_ch: int, params: dict) -> bool:
+    """int8 applies only where both channel counts clear quant_min_ch
+    (params wr is (kh, kw, Cin, Cout)); edge stages keep bf16."""
+    cin, cout = params["wr"].shape[2], params["wr"].shape[3]
+    return quant and min(cin, cout) >= quant_min_ch
+
+
 def _block_kernel(wr: jnp.ndarray, wi: jnp.ndarray) -> jnp.ndarray:
     """Assemble the 2x2 complex block kernel in HWIO.
 
@@ -84,6 +121,8 @@ def complex_conv2d(
     padding: Sequence[int],
     causal: bool = False,
     compute_dtype=None,
+    quant: bool = False,
+    quant_min_ch: int = 16,
 ) -> jnp.ndarray:
     """Complex conv over cpack feature maps.
 
@@ -92,6 +131,8 @@ def complex_conv2d(
       stride/padding: (freq, time) as in the reference net config.
       causal: if True, reproduces causal_complex_conv2d (symmetric time
         pad then drop the last output column) via left-only time padding.
+      quant: serving-only int8 MXU path for stages whose channel counts
+        clear quant_min_ch (see _quantized_conv).
     Returns:
       (B, F', T', 2*Cout).
     """
@@ -109,6 +150,9 @@ def complex_conv2d(
     bias = jnp.concatenate(
         [params["br"] - params["bi"], params["br"] + params["bi"]]
     )
+    if _quantize_stage(quant, quant_min_ch, params):
+        out = _quantized_conv(x, kernel, stride, pad_spec)
+        return out + bias.astype(out.dtype)
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
         kernel = kernel.astype(compute_dtype)
@@ -136,6 +180,8 @@ def complex_conv_transpose2d(
     padding: Sequence[int],
     causal: bool = False,
     compute_dtype=None,
+    quant: bool = False,
+    quant_min_ch: int = 16,
 ) -> jnp.ndarray:
     """Complex transposed conv (torch ConvTranspose2d semantics) on cpack maps.
 
@@ -171,6 +217,11 @@ def complex_conv_transpose2d(
         pad_t = (kw - 1 - pt, kw - 1 - pt - 1)
     else:
         pad_t = (kw - 1 - pt, kw - 1 - pt)
+    if _quantize_stage(quant, quant_min_ch, params):
+        out = _quantized_conv(x, kernel, (1, 1),
+                              [(kh - 1 - pf, kh - 1 - pf), pad_t],
+                              lhs_dilation=(sf, st))
+        return out + bias.astype(out.dtype)
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
         kernel = kernel.astype(compute_dtype)

@@ -50,6 +50,8 @@ class NsvaeTrainer:
         seed: int = 123,
         donate: bool = False,
     ):
+        pre_cfg.reject_int8_training("NsvaeTrainer")
+        noisy_cfg.reject_int8_training("NsvaeTrainer")
         self.pre_cfg = pre_cfg
         self.noisy_cfg = noisy_cfg
         self.loss = loss

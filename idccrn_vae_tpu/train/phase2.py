@@ -79,6 +79,8 @@ class Phase2Trainer:
         split_adv_step: Optional[bool] = None,
         donate: bool = False,
     ):
+        enc_cfg.reject_int8_training("Phase2Trainer")
+        dec_cfg.reject_int8_training("Phase2Trainer")
         self.enc_cfg = enc_cfg
         self.dec_cfg = dec_cfg
         self.loss = loss

@@ -51,6 +51,7 @@ class PretrainTrainer:
         seed: int = 123,
         donate: bool = False,
     ):
+        cfg.reject_int8_training("PretrainTrainer")
         self.cfg = cfg
         self.loss = loss
         self.mesh = mesh if mesh is not None else make_mesh(1)

@@ -44,6 +44,7 @@ class SupervisedTrainer:
         seed: int = 123,
         donate: bool = False,
     ):
+        cfg.reject_int8_training("SupervisedTrainer")
         self.cfg = cfg
         self.loss = loss
         self.mesh = mesh if mesh is not None else make_mesh(1)
