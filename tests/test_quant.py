@@ -72,6 +72,22 @@ def test_min_ch_gate_skips_narrow_stages():
     np.testing.assert_array_equal(np.asarray(gated), np.asarray(ref))
 
 
+def test_quantized_path_lowers_to_s8_convolution():
+    """The int8 mode must actually emit an s8 convolution in the HLO —
+    guards against the quant gate silently decaying into a no-op."""
+    cin = cout = 8
+    params = init_complex_conv2d(jax.random.PRNGKey(0), cin, cout, (5, 2))
+    x = jnp.zeros((1, 17, 11, 2 * cin), jnp.float32)
+    hlo = jax.jit(lambda x, p: complex_conv2d(
+        x, p, (2, 1), (2, 0), quant=True, quant_min_ch=1)).lower(
+            x, params).as_text()
+    assert "xi8>" in hlo and "convolution" in hlo  # int8 operands
+    hlo_gated = jax.jit(lambda x, p: complex_conv2d(
+        x, p, (2, 1), (2, 0), quant=True, quant_min_ch=64)).lower(
+            x, params).as_text()
+    assert "xi8>" not in hlo_gated
+
+
 def test_config_int8_properties():
     cfg = DccrnConfig(compute="int8")
     assert cfg.conv_quant
