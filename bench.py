@@ -134,7 +134,8 @@ def measure() -> float:
     from idccrn_vae_tpu.models.vae import VaeDecoder
 
     # IDCCRN_BENCH_COMPUTE=int8 measures the quantized serving mode
-    # (serving-only int8 MXU convs, ops/conv.py _quantized_conv)
+    # (serving-only int8 MXU convs, ops/conv.py _quantized_conv);
+    # main() validates the value before anything runs
     cfg = DccrnConfig(causal=True, zdim=128, num_samples=1, latent_num=1,
                       compute=os.environ.get("IDCCRN_BENCH_COMPUTE",
                                              "bf16"))
@@ -207,6 +208,10 @@ def run_measure_subprocess():
 
 
 def main():
+    compute = os.environ.get("IDCCRN_BENCH_COMPUTE", "bf16")
+    if compute not in ("f32", "bf16", "int8"):  # fail BEFORE the probe
+        raise SystemExit(f"IDCCRN_BENCH_COMPUTE={compute!r} is not one "
+                         "of f32/bf16/int8")
     if "--measure" in sys.argv:
         if os.environ.get("IDCCRN_BENCH_FAKE_HANG") == "1":
             time.sleep(3600)  # exercises the parent's watchdog in tests
@@ -225,12 +230,16 @@ def main():
             continue
         emit_failure("measurement_failed", err or "")
         return
-    print(json.dumps({
+    line = {
         "metric": "enhance_rtfx_per_chip",
         "value": round(best, 2),
         "unit": "x_realtime",
         "vs_baseline": round(best / 300.0, 3),
-    }))
+    }
+    compute = os.environ.get("IDCCRN_BENCH_COMPUTE", "bf16")
+    if compute != "bf16":  # label non-default modes so numbers can't mix
+        line["compute"] = compute
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

@@ -69,17 +69,23 @@ def init_complex_conv_transpose2d(
 def _quantized_conv(x, kernel, stride, pad_spec, lhs_dilation=None):
     """int8 MXU convolution with dynamic symmetric quantization.
 
-    Serving-only (round() has no useful gradient). Activations get ONE
-    per-tensor scale (dynamic abs-max — the inputs are post-BN/PReLU
-    feature maps, well conditioned); the block kernel gets per-OUTPUT-
-    channel scales so each complex component's weight range is covered
-    independently. Accumulation is int32 (max K here is 2Cin*kh*kw =
-    5120 -> |acc| <= 127^2*5120 ~ 8.3e7 << 2^31). Dequantized output is
-    bf16 so inter-stage HBM traffic matches the bf16 path. Measured on
-    v5e: 1.63x over bf16 at the decoder conv shape (INT8_PROBE.json).
+    Serving-only (round() has no useful gradient). Activations get a
+    dynamic abs-max scale PER SAMPLE (axis 0) — per-batch scaling would
+    make each utterance's output depend on its batchmates' levels (a
+    50x-louder batchmate was measured driving a quiet utterance's conv
+    error from 1% to 38%) and on batch size; the inputs are post-BN/
+    PReLU feature maps, so within one sample a single scale is well
+    conditioned. The block kernel gets per-OUTPUT-channel scales so
+    each complex component's weight range is covered independently.
+    Accumulation is int32 (max K here is 2Cin*kh*kw = 5120 -> |acc| <=
+    127^2*5120 ~ 8.3e7 << 2^31). Dequantized output is bf16 so
+    inter-stage HBM traffic matches the bf16 path. Measured on v5e:
+    1.63x over bf16 at the regular (encoder) conv shape, parity on the
+    lhs-dilated (decoder) shape (INT8_PROBE.json).
     """
     xf = x.astype(jnp.float32)
-    sx = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-12) / 127.0
+    sx = jnp.maximum(jnp.max(jnp.abs(xf), axis=(1, 2, 3), keepdims=True),
+                     1e-12) / 127.0
     xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
     kf = kernel.astype(jnp.float32)
     sw = jnp.maximum(jnp.max(jnp.abs(kf), axis=(0, 1, 2)), 1e-12) / 127.0

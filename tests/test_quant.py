@@ -60,6 +60,27 @@ def test_quantized_tconv_close_to_f32(causal):
     assert _rel_err(q.astype(jnp.float32), ref) < 0.02
 
 
+def test_quant_scale_is_per_sample():
+    """A 50x-louder batchmate must not perturb a quiet utterance's
+    quantized output (review finding: a per-BATCH abs-max scale made
+    outputs batch-dependent — quiet-sample error went 1% -> 38%)."""
+    cin, cout, f, t = 8, 8, 17, 11
+    rng = np.random.default_rng(7)
+    a = jnp.asarray(rng.standard_normal((1, f, t, 2 * cin)), jnp.float32)
+    loud = jnp.asarray(rng.standard_normal((1, f, t, 2 * cin)) * 50.0,
+                       jnp.float32)
+    params = init_complex_conv2d(jax.random.PRNGKey(8), cin, cout, (5, 2))
+
+    def q(x):
+        return np.asarray(complex_conv2d(
+            x, params, (2, 1), (2, 0), quant=True, quant_min_ch=1
+        ).astype(jnp.float32))
+
+    alone = q(a)
+    batched = q(jnp.concatenate([a, loud], axis=0))[:1]
+    np.testing.assert_array_equal(alone, batched)
+
+
 def test_min_ch_gate_skips_narrow_stages():
     """Below quant_min_ch the call must be the regular (f32 here) path."""
     b, cin, cout, f, t = 1, 2, 4, 9, 7

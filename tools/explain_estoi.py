@@ -130,7 +130,10 @@ def run(per_bucket: int = 8, utt_seconds: float = 6.5, seed: int = 7,
     arms += [(f"wiener^1 jitter{s:g}", "jitter", s, 0, 0)
              for s in (0.5, 1.0, 2.0)]
     if only_arms is not None:
-        arms = [a for a in arms if a[0] in only_arms]
+        # the 'noisy' baseline arm is load-bearing (delta denominator +
+        # dispersion block) — keep it regardless of the subset asked for
+        arms = [a for a in arms
+                if a[0] in only_arms or a[0] == "noisy"]
 
     report = {}
     noisy_estoi_per_utt: list = []
