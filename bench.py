@@ -29,7 +29,10 @@ the window expires, ONE parseable JSON line is still printed:
 and the process exits 0, so the driver records a structured failure
 instead of a null parse. Knobs (env):
   BENCH_RETRY_WINDOW_S   total seconds to keep retrying (default 7200)
-  BENCH_PROBE_TIMEOUT_S  per-probe timeout (default 120)
+  BENCH_PROBE_TIMEOUT_S  per-probe timeout (default 300 — measured
+                          r4: first connect after the tunnel has sat
+                          idle takes 2-4 min even when it is UP, so a
+                          120 s probe misreads a cold tunnel as down)
   BENCH_PROBE_INTERVAL_S sleep between failed probes (default 300)
   BENCH_MEASURE_TIMEOUT_S hard kill on the measurement subprocess
                           (default 2400 — covers the first remote
@@ -93,7 +96,7 @@ def probe_backend_once(timeout_s: float) -> bool:
 def wait_for_backend() -> bool:
     """Retry the probe across the configured window. Returns liveness."""
     window = float(os.environ.get("BENCH_RETRY_WINDOW_S", 7200))
-    timeout_s = float(os.environ.get("BENCH_PROBE_TIMEOUT_S", 120))
+    timeout_s = float(os.environ.get("BENCH_PROBE_TIMEOUT_S", 300))
     interval = float(os.environ.get("BENCH_PROBE_INTERVAL_S", 300))
     deadline = time.monotonic() + window
     attempt = 0
