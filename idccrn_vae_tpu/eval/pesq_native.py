@@ -51,18 +51,21 @@ pow_dens_correction = 100/nr matches the published float table to
 <=1e-5 relative. Scalar constants (Sp, Sl, weights, bounds) are the
 published P.862 values.
 
-Known remaining deviation from the ITU reference code, outside the
-psychoacoustic model: time alignment is constant-delay (the ITU
-per-utterance variable-delay search and bad-interval re-alignment are
-not needed for the speech-enhancement case, where enhancement is
-in-place and delay is 0); the >16 s long-signal time weighting is
-identity for the 3-10 s utterances this framework evaluates.
-tools/validate_pesq.py measures the residual offset against the ITU
-package when one is importable.
+Time alignment follows the ITU structure: global constant-delay crude
+alignment, then per-utterance fine alignment over VAD-delimited
+utterances with recursive splitting on internal delay discontinuities
+(align_variable_delay — the utterance_locate/time_align/split_align
+roles, simplified: energy-threshold VAD instead of the ITU iterative
+VAD, correlation-sum split acceptance instead of the ITU bad-interval
+re-scoring). For zero/constant delay — the in-place speech-enhancement
+case — the variable-delay stage is an exact identity, pinned by
+tests/test_pesq_native.py::test_constant_delay_invariance.
 
-Scope: both inputs must be the same utterance (reference vs degraded)
-with a constant relative delay — the speech-enhancement evaluation
-case (test_nsvae_se.py enhances in place, so delay is 0).
+Known remaining deviations from the ITU reference code, outside the
+psychoacoustic model: the simplified VAD/split acceptance above, and
+the >16 s long-signal time weighting (identity for the 3-10 s
+utterances this framework evaluates). tools/validate_pesq.py measures
+the residual offset against the ITU package when one is importable.
 """
 
 from __future__ import annotations
@@ -265,6 +268,122 @@ def estimate_delay(ref, deg, max_delay=FS // 2):
 
 
 # ---------------------------------------------------------------------------
+# per-utterance variable-delay alignment (P.862 utterance_locate structure)
+# ---------------------------------------------------------------------------
+
+_VAD_BLOCK = FS // 250          # 4 ms energy blocks (ITU apply_VAD grain)
+_UTT_JOIN = int(0.200 * FS)     # join speech sections gapped < 200 ms
+_UTT_MIN = int(0.064 * FS)      # drop active sections shorter than this
+_FINE_RANGE = int(0.075 * FS)   # per-utterance residual search window
+_SPLIT_MIN = int(0.300 * FS)    # don't split utterances below this
+
+
+def _utterance_spans(ref):
+    """Speech-utterance [start, end) sample spans of the (level-aligned)
+    reference, from 4 ms block energies: active = above the whole-signal
+    mean block energy / 50, sections joined across < 200 ms gaps and
+    short blips dropped — the same segmentation role as P.862's
+    apply_VAD + id_searchwindows (utterances are VAD sections separated
+    by long silences), without the ITU code's iterative threshold."""
+    nb = len(ref) // _VAD_BLOCK
+    if nb == 0:
+        return [(0, len(ref))]
+    e = (ref[: nb * _VAD_BLOCK] ** 2).reshape(nb, _VAD_BLOCK).mean(axis=1)
+    thr = e.mean() / 50.0
+    active = e > thr
+    spans = []
+    start = None
+    for i, a in enumerate(active):
+        if a and start is None:
+            start = i
+        elif not a and start is not None:
+            spans.append([start * _VAD_BLOCK, i * _VAD_BLOCK])
+            start = None
+    if start is not None:
+        spans.append([start * _VAD_BLOCK, nb * _VAD_BLOCK])
+    # join across short gaps
+    joined = []
+    for s in spans:
+        if joined and s[0] - joined[-1][1] < _UTT_JOIN:
+            joined[-1][1] = s[1]
+        else:
+            joined.append(s)
+    out = [(a, b) for a, b in joined if b - a >= _UTT_MIN]
+    return out or [(0, len(ref))]
+
+
+def _segment_delay(ref, deg, a, b):
+    """(residual_delay, peak_corr, zero_lag_corr) of deg vs ref over
+    [a, b), searching +-_FINE_RANGE around the already-applied global
+    delay (the fine-alignment role of P.862 time_align)."""
+    from scipy.signal import fftconvolve
+
+    r = ref[a:b]
+    lo = max(0, a - _FINE_RANGE)
+    hi = min(len(deg), b + _FINE_RANGE)
+    d = deg[lo:hi]
+    if len(d) < len(r) or not len(r):
+        return 0, 0.0, 0.0
+    c = fftconvolve(d, r[::-1], mode="valid")  # lag = lo - a + index
+    lags = np.arange(len(c)) + (lo - a)
+    zero_idx = int(np.flatnonzero(lags == 0)[0]) if (lags == 0).any() else 0
+    best = int(np.argmax(np.abs(c)))
+    return int(lags[best]), float(abs(c[best])), float(abs(c[zero_idx]))
+
+
+def _locate_utterance_delays(ref, deg, a, b):
+    """[(start, end, residual_delay)] for ref[a:b]: fine-align the whole
+    utterance, then recursively try a midpoint split and keep it when
+    the halves' correlations beat the unsplit peak with genuinely
+    different delays (the accept test of P.862 split_align)."""
+    d, c, c0 = _segment_delay(ref, deg, a, b)
+    # confidence gate: a residual only counts when its peak clearly
+    # beats staying at the global alignment — spurious noise peaks on
+    # heavily degraded signals must not move the alignment
+    if abs(c) <= 1.1 * c0:
+        d, c = 0, c0
+    if b - a >= 2 * _SPLIT_MIN:
+        m = (a + b) // 2
+        d1, c1, c01 = _segment_delay(ref, deg, a, m)
+        d2, c2, c02 = _segment_delay(ref, deg, m, b)
+        if abs(c1) <= 1.1 * c01:
+            d1 = 0
+        if abs(c2) <= 1.1 * c02:
+            d2 = 0
+        if d1 != d2 and c1 + c2 > 1.05 * c:
+            return (_locate_utterance_delays(ref, deg, a, m)
+                    + _locate_utterance_delays(ref, deg, m, b))
+    return [(a, b, d)]
+
+
+def align_variable_delay(ref, deg):
+    """Per-utterance variable-delay compensation of `deg` against `ref`
+    (both already globally aligned): VAD-delimited utterances are
+    fine-aligned (and split on internal delay discontinuities) and each
+    span of deg is shifted by its own residual delay. When every
+    residual is zero — the in-place enhancement case — the output is
+    `deg` unchanged, so constant-delay scores are bit-identical.
+
+    Returns (deg_aligned, [(start, end, residual_delay)])."""
+    pieces = []
+    for a, b in _utterance_spans(ref):
+        pieces.extend(_locate_utterance_delays(ref, deg, a, b))
+    if all(d == 0 for _a, _b, d in pieces):
+        return deg, pieces
+    out = deg.copy()
+    for a, b, d in pieces:
+        if d == 0:
+            continue
+        src_a, src_b = a + d, b + d
+        seg = np.zeros(b - a, deg.dtype)
+        ca, cb = max(0, src_a), min(len(deg), src_b)
+        if cb > ca:
+            seg[ca - src_a : ca - src_a + (cb - ca)] = deg[ca:cb]
+        out[a:b] = seg
+    return out, pieces
+
+
+# ---------------------------------------------------------------------------
 # psychoacoustic model (P.862 pesqmod.c structure, vectorized over frames)
 # ---------------------------------------------------------------------------
 
@@ -374,7 +493,10 @@ def pesq_wb_native(ref, deg, fs=FS) -> float:
     ref = _wb_input_filter(fix_power_level(ref))
     deg = _wb_input_filter(fix_power_level(deg))
 
-    # 3. constant-delay alignment
+    # 3. time alignment: global constant delay (crude align), then
+    # per-utterance residual refinement with discontinuity splitting
+    # (the utterance_locate/split_align role; identity when every
+    # residual is zero, i.e. the in-place enhancement case)
     delay = estimate_delay(ref, deg)
     if delay > 0:
         deg = deg[delay:]
@@ -383,6 +505,7 @@ def pesq_wb_native(ref, deg, fs=FS) -> float:
     n = min(len(ref), len(deg))
     ref = np.concatenate([ref[:n], np.zeros(DATAPADDING)])
     deg = np.concatenate([deg[:n], np.zeros(DATAPADDING)])
+    deg, _spans = align_variable_delay(ref, deg)
 
     # 4-5. pitch power densities
     pp_ref = _pitch_power_densities(ref)

@@ -269,3 +269,65 @@ def test_silent_reference_rejected_not_perfect():
     with pytest.raises(ValueError, match="speech-active"):
         pesq_wb_native(ref, deg)
     assert pesq_wb(FS, ref, deg) == 0.0
+
+
+# ---------------------------------------------------------------------------
+# variable-delay alignment (P.862 utterance_locate structure)
+# ---------------------------------------------------------------------------
+
+
+def test_constant_delay_invariance():
+    """For zero or constant delay the variable-delay stage is an exact
+    identity (every per-utterance residual is 0), so scores match the
+    pre-variable-delay pipeline bit-for-bit."""
+    from idccrn_vae_tpu.eval import pesq_native as pn
+
+    sp, rng = _speechish(11)
+    deg = _add_noise(sp, rng, 15.0)
+    out, spans = pn.align_variable_delay(sp, deg)
+    assert out is deg  # identity object, not a copy
+    assert all(d == 0 for _a, _b, d in spans)
+    base = pesq_wb_native(sp, deg)
+    shifted = np.concatenate([np.zeros(320), deg])  # +20 ms constant
+    assert abs(pesq_wb_native(sp, shifted) - base) < 0.05
+
+
+def test_piecewise_delay_realignment():
+    """A delay discontinuity mid-signal (the case ITU split_align
+    exists for): per-utterance alignment must recover most of the
+    zero-delay score, and beat the constant-delay-only pipeline."""
+    from idccrn_vae_tpu.eval import pesq_native as pn
+
+    sp, rng = _speechish(12, seconds=4.0)
+    deg = _add_noise(sp, rng, 20.0)
+    base = pesq_wb_native(sp, deg)
+    # shift the second half by 30 ms (>> one 32 ms frame would smear)
+    shift = 480
+    half = len(deg) // 2
+    pw = np.concatenate([deg[:half], deg[half - shift : -shift]])
+    aligned = pesq_wb_native(sp, pw)
+
+    orig = pn.align_variable_delay
+    pn.align_variable_delay = lambda ref, d: (d, [])
+    try:
+        const_only = pesq_wb_native(sp, pw)
+    finally:
+        pn.align_variable_delay = orig
+
+    assert aligned > const_only + 0.3
+    assert abs(aligned - base) < 0.35
+
+
+def test_variable_delay_spans_found():
+    """The locator reports the injected residual on the shifted span."""
+    from idccrn_vae_tpu.eval import pesq_native as pn
+
+    sp, rng = _speechish(13, seconds=4.0)
+    half = len(sp) // 2
+    shift = 480
+    deg = np.concatenate([sp[:half], sp[half - shift : -shift]])
+    deg = _add_noise(deg, rng, 25.0)
+    _out, spans = pn.align_variable_delay(sp, deg)
+    # spans in the second half carry the +480 residual (deg index =
+    # ref index + d): pw[i] = sp[i - shift], so deg[i + shift] aligns
+    assert any(a >= half - FS // 4 and d == shift for a, _b, d in spans)

@@ -16,11 +16,13 @@ P.862 parameter tables and the published P.862 model structure
 (eval/pesq_native.py), so the delta against the ITU package should be
 small — the BASELINE.json acceptance target is |delta PESQ| <= 0.02
 on enhancement output. Residual offset sources, if any, are the
-remaining documented non-model deviations (constant-delay alignment,
-no bad-interval re-search — the level-alignment filter and the
-bin->Bark grouping are vendored ITU constants since round 4); report
-any measured offset in BASELINE.md rather than fitting a correction
-into the model.
+remaining documented non-model deviations (since round 5 time
+alignment is variable-delay per-utterance with discontinuity
+splitting; what remains simplified is the VAD and the split-
+acceptance test vs the ITU bad-interval re-scoring — the
+level-alignment filter and the bin->Bark grouping are vendored ITU
+constants since round 4); report any measured offset in BASELINE.md
+rather than fitting a correction into the model.
 """
 
 import os
