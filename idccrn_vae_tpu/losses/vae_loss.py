@@ -58,7 +58,12 @@ class PretrainVaeLoss:
         recon_loss_weight: Sequence[float] = (1.0, 1.0, 1.0),
         num_samples: int = 5,
         prior_mode: str = "ri_inde",
+        ref_mag_bug: bool = False,
     ):
+        """ref_mag_bug: reproduce the reference's target-magnitude slip
+        (pretrain_pvaes_loss.py:192 computes ori_mag from the REAL part
+        twice). Default False — the corrected magnitude; True is for
+        exact loop-trajectory parity (tools/trajectory_parity.py)."""
         self.kl_warm_weights = np.asarray(kl_warm_weights, np.float32)
         self.kl_warm_epochs = len(self.kl_warm_weights)
         self.kl_weight = float(kl_weight)
@@ -67,6 +72,7 @@ class PretrainVaeLoss:
         self.recon_loss_weight = tuple(recon_loss_weight)
         self.num_samples = num_samples
         self.prior_mode = prior_mode
+        self.ref_mag_bug = bool(ref_mag_bug)
         self.eps = 1e-9
 
     def kl_weight_at(self, epoch: int) -> float:
@@ -89,7 +95,7 @@ class PretrainVaeLoss:
         if self.recon_loss_type == "multiple":
             recon, l_cpx, l_mag, l_snr = multiple_recon_loss(
                 predict_spec, stft_source, source, est_source,
-                self.recon_loss_weight,
+                self.recon_loss_weight, ref_mag_bug=self.ref_mag_bug,
             )
         else:
             recon = prob_recon_loss(predict_spec, stft_source)

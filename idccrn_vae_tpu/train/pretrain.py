@@ -158,7 +158,16 @@ class PretrainTrainer:
 
     def eval_step(self, state, batch, rng, epoch: int):
         wav = pad_and_shard(self.mesh, batch)
-        kl_w = jnp.asarray(self.loss.kl_weight_at(epoch), jnp.float32)
+        # The reference scores VALIDATION at the fully-warm KL weight
+        # regardless of the current epoch (train.py:348 passes
+        # epoch=kl_warm_epochs+2 into cal_loss); the annealed weight is
+        # train-only. Matching it matters beyond reporting: val total
+        # drives the plateau scheduler, best-epoch choice and early
+        # stop, so an annealed val weight changes training trajectories
+        # (caught by tools/trajectory_parity.py, round 5).
+        kl_w = jnp.asarray(
+            self.loss.kl_weight_at(self.loss.kl_warm_epochs + 2),
+            jnp.float32)
         _, metrics = self._eval_jit(state, wav, rng, kl_w, train=False)
         return metrics
 
