@@ -139,6 +139,22 @@ def test_full_pipeline(corpus, monkeypatch):
                   "--compute", "f32"])
     assert os.path.exists(os.path.join(out1, "per_utterance.json"))
 
+    # 3b. phase-1 latent_num=2 mask out-type through the CLI: NSVAE
+    #     noisy encoder + CVAE speech decoder + NVAE noise decoder
+    #     (test_nsvae_se.py --latent_to_use 2; the e2e driver's evalp1
+    #     stage runs this exact flag set per out-type)
+    out1b = str(tmp_path / "eval_phase1_mask")
+    test_enhance(["--nsvae_dir", nsvae_dir, "--decoder_dir", cvae_dir,
+                  "--noise_decoder_dir", nvae_dir,
+                  "--latent_to_use", "2", "--outtype", "complex_mask",
+                  "--phase", "1", "--noisy_dir", dirs["noisy_val"],
+                  "--clean_dir", dirs["clean_val"], "--out_dir", out1b,
+                  "--num_samples", "2", "--batch_size", "2",
+                  "--compute", "f32"])
+    with open(os.path.join(out1b, "per_utterance.json")) as f:
+        for v in json.load(f).values():
+            assert np.isfinite(v["sisdr"])
+
     # 4. phase-2 classical decoder fine-tune
     from idccrn_vae_tpu.cli.train_phase2 import main as train_phase2
 
