@@ -39,6 +39,15 @@ instead of a null parse. Knobs (env):
                           compile); a tunnel dropping MID-measurement
                           hangs rather than raising, so the measurement
                           also runs in a subprocess
+  IDCCRN_BENCH_PROGRAM   clean_direct (default) | dual_complex_mask —
+                          the latter benches the latent_num=2
+                          dual-decoder serving program (NSVAE dual
+                          encoder + speech/noise decoders + complex
+                          ratio mask) via eval/enhance.py Enhancer
+  IDCCRN_BENCH_TINY=1    CPU-runnable smoke geometry (tiny channels,
+                          0.4 s clips, B=2, 2 iters) so the suite can
+                          execute both programs end-to-end; the RTFx
+                          printed is meaningless
   IDCCRN_BENCH_FAKE_OUTAGE=1  force every probe to fail (tests the
                               error path without a real outage)
   IDCCRN_BENCH_FAKE_HANG=1    make the measure subprocess hang (tests
@@ -139,23 +148,64 @@ def measure() -> float:
     # IDCCRN_BENCH_COMPUTE=int8 measures the quantized serving mode
     # (serving-only int8 MXU convs, ops/conv.py _quantized_conv);
     # main() validates the value before anything runs
-    cfg = DccrnConfig(causal=True, zdim=128, num_samples=1, latent_num=1,
-                      compute=os.environ.get("IDCCRN_BENCH_COMPUTE",
-                                             "bf16"))
-    enc = NsvaeEncoder(cfg)
-    dec = VaeDecoder(cfg)
-    enc_vars = enc.init(jax.random.PRNGKey(0))
-    dec_vars = dec.init(jax.random.PRNGKey(1))
-    n = int(FS * SECONDS)
+    compute = os.environ.get("IDCCRN_BENCH_COMPUTE", "bf16")
+    program = os.environ.get("IDCCRN_BENCH_PROGRAM", "clean_direct")
+    # IDCCRN_BENCH_TINY=1: CPU-runnable smoke geometry so the suite can
+    # execute BOTH serving programs end-to-end (the RTFx it prints is
+    # meaningless; only the code path matters)
+    tiny = os.environ.get("IDCCRN_BENCH_TINY") == "1"
+    geo = dict(encoder_channels=(1, 2, 2, 4, 4, 4, 4), zdim=4) if tiny \
+        else dict(zdim=128)
+    seconds = 0.4 if tiny else SECONDS
+    iters = 2 if tiny else ITERS
+    batches = (2,) if tiny else (32, 128)
+    n = int(FS * seconds)
 
-    def enhance(wav, key):
-        out, _ = enc.apply(enc_vars, wav, train=False, rng=key,
-                           num_samples=1)
-        skips = split_noisy_skips(out.skips, cfg, "speech")
-        (recon, _pred), _ = dec.apply(dec_vars, out.stft_x, out.z_speech,
-                                      skips, train=False, num_samples=1,
-                                      pad_mode="sig")
-        return recon
+    if program == "dual_complex_mask":
+        # The latent_num=2 serving program (test_nsvae_se.py
+        # --latent_to_use 2 --outtype complex_mask): dual-latent NSVAE
+        # encoder + speech AND noise decoders + complex ratio mask.
+        # Measured through the REAL serving class (eval/enhance.py
+        # Enhancer.forward) rather than a re-implementation.
+        import dataclasses
+
+        from idccrn_vae_tpu.eval.enhance import Enhancer
+
+        enc_cfg = DccrnConfig(causal=True, num_samples=1,
+                              latent_num=2, channel_mode="double",
+                              compute=compute, **geo)
+        dec_cfg = dataclasses.replace(enc_cfg, latent_num=1,
+                                      channel_mode="normal")
+        enc = NsvaeEncoder(enc_cfg)
+        dec = VaeDecoder(dec_cfg)
+        enh = Enhancer(enc_cfg, dec_cfg,
+                       enc.init(jax.random.PRNGKey(0)),
+                       dec.init(jax.random.PRNGKey(1)),
+                       noise_dec_vars=VaeDecoder(dec_cfg).init(
+                           jax.random.PRNGKey(2)),
+                       num_samples=1, outtype="complex_mask",
+                       latent_to_use=2, pad_mode="sig")
+
+        def enhance(wav, key):
+            return enh.forward(enh.enc_vars, enh.dec_vars,
+                               enh.noise_dec_vars, wav, key)
+    else:
+        cfg = DccrnConfig(causal=True, num_samples=1,
+                          latent_num=1, compute=compute, **geo)
+        enc = NsvaeEncoder(cfg)
+        dec = VaeDecoder(cfg)
+        enc_vars = enc.init(jax.random.PRNGKey(0))
+        dec_vars = dec.init(jax.random.PRNGKey(1))
+
+        def enhance(wav, key):
+            out, _ = enc.apply(enc_vars, wav, train=False, rng=key,
+                               num_samples=1)
+            skips = split_noisy_skips(out.skips, cfg, "speech")
+            (recon, _pred), _ = dec.apply(dec_vars, out.stft_x,
+                                          out.z_speech, skips,
+                                          train=False, num_samples=1,
+                                          pad_mode="sig")
+            return recon
 
     @jax.jit
     def bench_window(wav, key, iters):
@@ -170,14 +220,14 @@ def measure() -> float:
     # 128 -> 2005x, 192 -> 1676x, 256 -> 1995x, 384 -> compile failure.
     # Power-of-two batches tile best; 128 is the sweet spot.
     results = []
-    for batch in (32, 128):
+    for batch in batches:
         key = jax.random.PRNGKey(7)
         wav = jax.random.normal(key, (batch, n), jnp.float32) * 0.1
         float(bench_window(wav, key, 2))  # compile + warm (scalar fetch)
         t0 = time.perf_counter()
-        float(bench_window(wav, key, ITERS))  # fetch forces completion
+        float(bench_window(wav, key, iters))  # fetch forces completion
         dt = time.perf_counter() - t0
-        results.append(ITERS * batch * SECONDS / dt)
+        results.append(iters * batch * seconds / dt)
     return max(results)
 
 
@@ -215,6 +265,10 @@ def main():
     if compute not in ("f32", "bf16", "int8"):  # fail BEFORE the probe
         raise SystemExit(f"IDCCRN_BENCH_COMPUTE={compute!r} is not one "
                          "of f32/bf16/int8")
+    program = os.environ.get("IDCCRN_BENCH_PROGRAM", "clean_direct")
+    if program not in ("clean_direct", "dual_complex_mask"):
+        raise SystemExit(f"IDCCRN_BENCH_PROGRAM={program!r} is not one "
+                         "of clean_direct/dual_complex_mask")
     if "--measure" in sys.argv:
         if os.environ.get("IDCCRN_BENCH_FAKE_HANG") == "1":
             time.sleep(3600)  # exercises the parent's watchdog in tests
@@ -242,6 +296,8 @@ def main():
     compute = os.environ.get("IDCCRN_BENCH_COMPUTE", "bf16")
     if compute != "bf16":  # label non-default modes so numbers can't mix
         line["compute"] = compute
+    if program != "clean_direct":
+        line["program"] = program
     print(json.dumps(line))
 
 

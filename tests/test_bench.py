@@ -75,3 +75,23 @@ def test_fake_outage_overrides_probe(monkeypatch):
     monkeypatch.setenv("IDCCRN_BENCH_FAKE_OUTAGE", "1")
     bench = _load_bench()
     assert not bench.probe_backend_once(timeout_s=5.0)
+
+
+def test_tiny_smoke_runs_both_serving_programs():
+    """IDCCRN_BENCH_TINY=1 runs the REAL measure() end-to-end on CPU at
+    tiny geometry — the only suite-level execution of bench.py's
+    dual-decoder (latent_num=2, complex_mask) branch, so a drift in the
+    Enhancer API breaks here instead of in the driver's one chip run."""
+    for program in ("clean_direct", "dual_complex_mask"):
+        env = dict(os.environ,
+                   IDCCRN_BENCH_TINY="1",
+                   IDCCRN_BENCH_PLATFORM="cpu",
+                   IDCCRN_BENCH_PROGRAM=program)
+        r = subprocess.run([sys.executable, BENCH, "--measure"],
+                           env=env, timeout=600, capture_output=True,
+                           text=True)
+        assert r.returncode == 0, (program, r.stderr[-2000:])
+        vals = [ln for ln in r.stdout.splitlines()
+                if ln.startswith("MEASURE_RESULT ")]
+        assert len(vals) == 1, (program, r.stdout)
+        assert float(vals[0].split(" ", 1)[1]) > 0
