@@ -7,6 +7,7 @@ decoder with skip concat -> mask|real_imag recon -> ISTFT.
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Optional, Tuple
 
 import jax
@@ -80,3 +81,38 @@ class SupervisedDccrn:
 
         s = self.cfg.stft
         return stft(wav, s.n_fft, s.hop, s.win_length)
+
+
+class LegacyDccrn(SupervisedDccrn):
+    """The reference's legacy polar-mask DCCRN (model/module.py:87-221).
+
+    Dead code upstream — the supervised scripts import pvae_module's
+    DCCRN_ instead (supervised_dccrn/train.py:22) — kept here for
+    inventory completeness and old-checkpoint interop. Numerically the
+    legacy model IS SupervisedDccrn pinned to the legacy choices:
+    non-causal blocks, skip concat at EVERY decoder stage (the first
+    "skip" being the bottleneck output itself, module.py:175-178),
+    tanh-polar mask reconstruction (module.py:182-189 ==
+    pvae_module.py:226-230 == modules.mask_reconstruct), no datanorm,
+    no resynthesis; forward returns the waveform only (module.py:221).
+    The dead 1x1 `linear` conv (module.py:143, never applied) holds
+    torch parameters the importer drops
+    (torch_import.import_legacy_dccrn). Parity vs the reference's own
+    module.DCCRN_ is pinned in tests/test_oracle_legacy.py.
+    """
+
+    def __init__(self, cfg: DccrnConfig):
+        cfg = dataclasses.replace(
+            cfg,
+            causal=False,
+            recon_type="mask",
+            skip_mode="real",
+            skip_to_use=tuple(range(cfg.num_stages)),
+        )
+        super().__init__(cfg, datanorm=None)
+
+    def apply(self, variables, wav, *, train: bool):  # type: ignore[override]
+        """wav (B, L) -> (clean (B, L'), stats')."""
+        (clean, _predict), stats = super().apply(variables, wav,
+                                                 train=train)
+        return clean, stats

@@ -187,10 +187,20 @@ def import_nsvae_encoder(sd, cfg) -> dict:
     return {"params": params, "stats": {"encoder": enc_stats}}
 
 
-def import_supervised_dccrn(sd, cfg) -> dict:
+def import_legacy_dccrn(sd, cfg) -> dict:
+    """Legacy module.py DCCRN_ state_dict -> LegacyDccrn vars.
+
+    Identical layer layout to the pvae DCCRN_ except the inner model
+    attribute is named `DCCRN` (module.py:196) instead of `std_DCCRN`,
+    and the dead 1x1 `linear` conv (module.py:143) is skipped like the
+    pvae one."""
+    return import_supervised_dccrn(sd, cfg, prefix="DCCRN")
+
+
+def import_supervised_dccrn(sd, cfg, prefix: str = "std_DCCRN") -> dict:
     """DCCRN_ (pvae_module.py:200) state_dict -> SupervisedDccrn vars.
     The unused 1x1 `linear` conv (pvae_module.py:158) is skipped."""
-    p = "std_DCCRN"
+    p = prefix
     n = cfg.num_stages
     enc_params, enc_stats = convert_encoder_stack(sd, f"{p}.encoders", n)
     dec_params, dec_stats = convert_decoder_stack(sd, f"{p}.decoders", n)
