@@ -44,6 +44,9 @@ instead of a null parse. Knobs (env):
                           dual-decoder serving program (NSVAE dual
                           encoder + speech/noise decoders + complex
                           ratio mask) via eval/enhance.py Enhancer
+  IDCCRN_BENCH_BATCHES   comma list overriding the default batch sweep
+                          (32,128); use for the dual-decoder program,
+                          whose ~2x memory crashed the worker at B=128
   IDCCRN_BENCH_TINY=1    CPU-runnable smoke geometry (tiny channels,
                           0.4 s clips, B=2, 2 iters) so the suite can
                           execute both programs end-to-end; the RTFx
@@ -159,6 +162,11 @@ def measure() -> float:
     seconds = 0.4 if tiny else SECONDS
     iters = 2 if tiny else ITERS
     batches = (2,) if tiny else (32, 128)
+    if os.environ.get("IDCCRN_BENCH_BATCHES"):
+        # override, e.g. "32,64" — the dual-decoder program carries ~2x
+        # the memory of clean_direct and B=128 crashed the TPU worker
+        batches = tuple(int(b) for b in
+                        os.environ["IDCCRN_BENCH_BATCHES"].split(","))
     n = int(FS * seconds)
 
     if program == "dual_complex_mask":
