@@ -104,7 +104,8 @@ def parse_nsvae_dirname(name: str) -> dict:
 def build_parser():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--kind", required=True,
-                   choices=["vae", "nsvae_encoder", "supervised"])
+                   choices=["vae", "nsvae_encoder", "supervised",
+                            "legacy"])
     p.add_argument("--encoder", type=str, default=None,
                    help=".pt for the encoder (vae/nsvae) or the full "
                         "model (supervised)")
@@ -226,9 +227,18 @@ def main(argv=None):
                         "epoch": -1, "best_val": float("nan"), "patience": 0,
                         "sched": {"best": float("inf"), "num_bad": 0},
                         "converted_from": [args.encoder]})
-    else:  # supervised
-        variables = ti.import_supervised_dccrn(
-            ti.load_state_dict(args.encoder), cfg)
+    else:  # supervised | legacy
+        if args.kind == "legacy":
+            # the legacy model/module.py DCCRN_ pins its own choices;
+            # record the PINNED config so downstream rebuilds match
+            from idccrn_vae_tpu.models.dccrn import LegacyDccrn
+
+            cfg = LegacyDccrn(cfg).cfg
+            variables = ti.import_legacy_dccrn(
+                ti.load_state_dict(args.encoder), cfg)
+        else:
+            variables = ti.import_supervised_dccrn(
+                ti.load_state_dict(args.encoder), cfg)
         ckpt.save_best(variables)
         ckpt.save_meta({**extra, "model_name": args.model_name, "config": asdict(cfg),
                         "epoch": -1, "best_val": float("nan"), "patience": 0,

@@ -280,31 +280,21 @@ def test_load_pretrained_variables_pt(tmp_path):
     assert np.isfinite(np.asarray(out.z)).all()
 
 
-def test_convert_torch_cli(tmp_path):
-    """convert_torch CLI: supervised .pt -> CheckpointManager dir that
-    test_supervised-style loading consumes."""
+def _synthetic_dccrn_sd(cfg, init_vars, prefix="std_DCCRN"):
+    """torch state_dict in the DCCRN_ layout from our init variables
+    (prefix 'std_DCCRN' = pvae_module.py:200, 'DCCRN' = legacy
+    module.py:196)."""
     import torch
 
-    from idccrn_vae_tpu.cli.common import config_from_meta
-    from idccrn_vae_tpu.cli.convert_torch import main as convert
-    from idccrn_vae_tpu.train.checkpoint import CheckpointManager
-
-    cfg = dataclasses.replace(
-        DccrnConfig(), encoder_channels=(1, 2, 4, 8, 8, 16, 16), zdim=4,
-        lstm_hidden=4, causal=True)
-    model = SupervisedDccrn(cfg)
-    init_vars = model.init(jax.random.PRNGKey(0))
-    # reuse the synthetic state_dict builder from the tree-structure test
     sd = {}
     p = init_vars["params"]
-    rngi = np.random.default_rng(3)
     for group, trans, conv_name in (("encoder", (3, 2, 0, 1), "conv"),
                                     ("decoder", (2, 3, 0, 1), "transconv")):
         kind = "encoders" if group == "encoder" else "decoders"
         wkey = "conv_re" if group == "encoder" else "tconv_re"
         wkey_i = "conv_im" if group == "encoder" else "tconv_im"
         for i, stage in enumerate(p[group]):
-            pre = f"std_DCCRN.{kind}.{i}"
+            pre = f"{prefix}.{kind}.{i}"
             sd[f"{pre}.{conv_name}.{wkey}.weight"] = torch.from_numpy(
                 np.transpose(np.asarray(stage["conv"]["wr"]), trans).copy())
             sd[f"{pre}.{conv_name}.{wkey_i}.weight"] = torch.from_numpy(
@@ -326,7 +316,7 @@ def test_convert_torch_cli(tmp_path):
     for part in ("re", "im"):
         for k in range(cfg.lstm_layers):
             lp = p["lstm"][part][k]
-            pre = f"std_DCCRN.lstms.0.lstm_{part}"
+            pre = f"{prefix}.lstms.0.lstm_{part}"
             sd[f"{pre}.weight_ih_l{k}"] = torch.from_numpy(
                 np.asarray(lp["w_ih"]).T.copy())
             sd[f"{pre}.weight_hh_l{k}"] = torch.from_numpy(
@@ -335,14 +325,32 @@ def test_convert_torch_cli(tmp_path):
                 np.asarray(lp["b_ih"]).copy())
             sd[f"{pre}.bias_hh_l{k}"] = torch.from_numpy(
                 np.asarray(lp["b_hh"]).copy())
-    sd["std_DCCRN.dense.linear_read.weight"] = torch.from_numpy(
+    sd[f"{prefix}.dense.linear_read.weight"] = torch.from_numpy(
         np.asarray(p["dense"]["wr"]).T.copy())
-    sd["std_DCCRN.dense.linear_imag.weight"] = torch.from_numpy(
+    sd[f"{prefix}.dense.linear_imag.weight"] = torch.from_numpy(
         np.asarray(p["dense"]["wi"]).T.copy())
-    sd["std_DCCRN.dense.linear_read.bias"] = torch.from_numpy(
+    sd[f"{prefix}.dense.linear_read.bias"] = torch.from_numpy(
         np.asarray(p["dense"]["br"]).copy())
-    sd["std_DCCRN.dense.linear_imag.bias"] = torch.from_numpy(
+    sd[f"{prefix}.dense.linear_imag.bias"] = torch.from_numpy(
         np.asarray(p["dense"]["bi"]).copy())
+    return sd
+
+
+def test_convert_torch_cli(tmp_path):
+    """convert_torch CLI: supervised .pt -> CheckpointManager dir that
+    test_supervised-style loading consumes."""
+    import torch
+
+    from idccrn_vae_tpu.cli.common import config_from_meta
+    from idccrn_vae_tpu.cli.convert_torch import main as convert
+    from idccrn_vae_tpu.train.checkpoint import CheckpointManager
+
+    cfg = dataclasses.replace(
+        DccrnConfig(), encoder_channels=(1, 2, 4, 8, 8, 16, 16), zdim=4,
+        lstm_hidden=4, causal=True)
+    model = SupervisedDccrn(cfg)
+    init_vars = model.init(jax.random.PRNGKey(0))
+    sd = _synthetic_dccrn_sd(cfg, init_vars)
     pt = str(tmp_path / "model.pt")
     torch.save(sd, pt)
 
@@ -359,6 +367,56 @@ def test_convert_torch_cli(tmp_path):
                       jnp.float32) * 0.1
     (out_wav, _), _ = model2.apply(variables, wav, train=False)
     assert np.isfinite(np.asarray(out_wav)).all()
+
+
+def test_convert_torch_cli_legacy(tmp_path):
+    """--kind legacy: legacy module.py DCCRN_ .pt (inner attr 'DCCRN',
+    dead 1x1 linear conv) converts with the legacy choices PINNED in
+    meta regardless of the flags given."""
+    import torch
+
+    from idccrn_vae_tpu.cli.common import config_from_meta
+    from idccrn_vae_tpu.cli.convert_torch import main as convert
+    from idccrn_vae_tpu.models.dccrn import LegacyDccrn
+    from idccrn_vae_tpu.train.checkpoint import CheckpointManager
+
+    base = dataclasses.replace(
+        DccrnConfig(), encoder_channels=(1, 2, 4, 8, 8, 16, 16), zdim=4,
+        lstm_hidden=4)
+    model = LegacyDccrn(base)
+    init_vars = model.init(jax.random.PRNGKey(1))
+    sd = _synthetic_dccrn_sd(model.cfg, init_vars, prefix="DCCRN")
+    # the dead 1x1 linear conv the legacy class carries (module.py:143)
+    for part in ("re", "im"):
+        sd[f"DCCRN.linear.conv_{part}.weight"] = torch.zeros(1, 1, 1, 1)
+        sd[f"DCCRN.linear.conv_{part}.bias"] = torch.zeros(1)
+    pt = str(tmp_path / "legacy.pt")
+    torch.save(sd, pt)
+
+    out = str(tmp_path / "converted_legacy")
+    # --causal deliberately wrong: the legacy pin must override it
+    convert(["--kind", "legacy", "--encoder", pt, "--out", out,
+             "--causal", "--zdim", "4", "--encoder_dim_start", "2"])
+    ck = CheckpointManager(out)
+    cfg2 = config_from_meta(ck.load_meta())
+    assert cfg2.causal is False
+    assert cfg2.recon_type == "mask"
+    assert cfg2.skip_to_use == tuple(range(cfg2.num_stages))
+    variables = ck.load_best()
+    model2 = LegacyDccrn(cfg2)
+    wav = jnp.asarray(np.random.default_rng(5).standard_normal((1, 1600)),
+                      jnp.float32) * 0.1
+    out_wav, _ = model2.apply(variables, wav, train=False)
+    assert np.isfinite(np.asarray(out_wav)).all()
+    # round-trip == direct library import
+    from idccrn_vae_tpu.models.torch_import import import_legacy_dccrn
+
+    direct = model.apply(
+        import_legacy_dccrn({k: v.numpy() for k, v in sd.items()},
+                            model.cfg),
+        wav, train=False)[0]
+    np.testing.assert_allclose(np.asarray(out_wav), np.asarray(direct),
+                               atol=1e-5)
 
 
 def test_convert_nsvae_meta_pre_config(tmp_path, monkeypatch):
