@@ -77,6 +77,28 @@ def test_fake_outage_overrides_probe(monkeypatch):
     assert not bench.probe_backend_once(timeout_s=5.0)
 
 
+def test_batches_override_is_honored():
+    """IDCCRN_BENCH_BATCHES must replace the batch sweep (the
+    dual-decoder chip capture relies on it — B=128 crashed the
+    worker); a bad value must fail loudly, not silently default."""
+    env = dict(os.environ,
+               IDCCRN_BENCH_TINY="1",
+               IDCCRN_BENCH_PLATFORM="cpu",
+               IDCCRN_BENCH_BATCHES="1,3")
+    r = subprocess.run([sys.executable, BENCH, "--measure"],
+                       env=env, timeout=600, capture_output=True,
+                       text=True)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert any(ln.startswith("MEASURE_RESULT ")
+               for ln in r.stdout.splitlines()), r.stdout
+
+    env["IDCCRN_BENCH_BATCHES"] = "32,huge"
+    r = subprocess.run([sys.executable, BENCH, "--measure"],
+                       env=env, timeout=600, capture_output=True,
+                       text=True)
+    assert r.returncode != 0
+
+
 def test_tiny_smoke_runs_both_serving_programs():
     """IDCCRN_BENCH_TINY=1 runs the REAL measure() end-to-end on CPU at
     tiny geometry — the only suite-level execution of bench.py's
